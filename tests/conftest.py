@@ -1,0 +1,24 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip sharding paths are validated on host CPU devices
+(``--xla_force_host_platform_device_count=8``); the real TPU is reserved for
+benchmarks.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

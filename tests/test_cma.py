@@ -1,0 +1,149 @@
+"""On-device CMA-ES correctness tests.
+
+The reference used PyCMA on the host; since our implementation must stand on
+its own we validate against the standard published properties of CMA-ES:
+default popsize formula, monotone convergence on convex quadratics, solving
+the non-separable Rosenbrock function, and step-size adaptation behavior.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pix2latent_tpu.strategies import cma
+
+
+def run_cma(fn, n, gens, sigma=1.0, popsize=None, mean=None, seed=0):
+    params, state = cma.init(
+        np.zeros(n) if mean is None else mean, sigma, popsize)
+
+    @jax.jit
+    def gen_step(state, key):
+        x = cma.ask(params, state, key)
+        f = fn(x)
+        return cma.tell(params, state, x, f), jnp.min(f)
+
+    keys = jax.random.split(jax.random.PRNGKey(seed), gens)
+    best = np.inf
+    for k in keys:
+        state, fmin = gen_step(state, k)
+        best = min(best, float(fmin))
+    return state, best
+
+
+class TestPopsize:
+    def test_reference_budgets(self):
+        # README.md:74 — 18 samples for BigGAN (d=128), 22 for StyleGAN2 (d=512)
+        assert cma.default_popsize(128) == 18
+        assert cma.default_popsize(512) == 22
+        assert cma.default_popsize(3) == 7
+
+    def test_weights_sum_to_one(self):
+        p = cma.make_params(16)
+        assert abs(float(jnp.sum(p.weights)) - 1.0) < 1e-6
+        assert p.mu == p.popsize // 2
+
+
+class TestConvergence:
+    def test_sphere(self):
+        fn = lambda x: jnp.sum(x ** 2, axis=-1)
+        state, best = run_cma(fn, n=10, gens=250)
+        assert best < 1e-9
+        assert float(jnp.linalg.norm(state.mean)) < 1e-4
+
+    def test_shifted_sphere(self):
+        target = jnp.arange(8.0) / 8.0
+        fn = lambda x: jnp.sum((x - target) ** 2, axis=-1)
+        state, best = run_cma(fn, n=8, gens=250)
+        assert float(jnp.linalg.norm(state.mean - target)) < 1e-4
+
+    def test_elliptic_nonseparable(self):
+        # Rotated ill-conditioned quadratic exercises covariance adaptation.
+        # Hessian condition is capped at ~1e3 — beyond that, candidate
+        # fitness differences fall under fp32 resolution on the ridge and
+        # ranking (for ANY CMA implementation fed fp32 fitness) loses signal;
+        # see the precision note on strategies.cma.tell.
+        rng = np.random.RandomState(0)
+        q, _ = np.linalg.qr(rng.randn(6, 6))
+        scales = jnp.asarray(10.0 ** np.linspace(0, 1.5, 6), jnp.float32)
+        q = jnp.asarray(q, jnp.float32)
+        fn = lambda x: jnp.sum((scales * (x @ q)) ** 2, axis=-1)
+        _, best = run_cma(fn, n=6, gens=600)
+        assert best < 1e-8
+
+    def test_rosenbrock(self):
+        def fn(x):
+            return jnp.sum(100.0 * (x[..., 1:] - x[..., :-1] ** 2) ** 2
+                           + (1.0 - x[..., :-1]) ** 2, axis=-1)
+        state, best = run_cma(fn, n=5, gens=800, sigma=0.5)
+        assert best < 1e-6
+        assert float(jnp.max(jnp.abs(state.mean - 1.0))) < 1e-2
+
+    def test_scalar_dimension(self):
+        # the reference needed a duplicate-dimension hack for n=1
+        # (base_cma_optimizer.py:170-173); we support it natively... n=1 uses
+        # popsize from n=2 formula floor.
+        fn = lambda x: (x[..., 0] - 3.0) ** 2
+        state, best = run_cma(fn, n=1, gens=150, popsize=8)
+        assert abs(float(state.mean[0]) - 3.0) < 1e-3
+
+    def test_sigma_adapts_up_then_converges(self):
+        # far-away optimum: sigma should grow initially
+        fn = lambda x: jnp.sum((x - 50.0) ** 2, axis=-1)
+        params, state = cma.init(np.zeros(4), sigma=0.5)
+
+        @jax.jit
+        def gen_step(state, key):
+            x = cma.ask(params, state, key)
+            return cma.tell(params, state, x, fn(x))
+
+        keys = jax.random.split(jax.random.PRNGKey(1), 40)
+        sigmas = []
+        for k in keys:
+            state = gen_step(state, k)
+            sigmas.append(float(state.sigma))
+        assert max(sigmas) > 0.5  # grew to cover the distance
+
+
+class TestAskTell:
+    def test_ask_distribution(self, key):
+        params, state = cma.init(np.zeros(32), sigma=2.0, popsize=4096)
+        x = cma.ask(params, state, key)
+        assert x.shape == (4096, 32)
+        assert abs(float(jnp.std(x)) - 2.0) < 0.1
+
+    def test_tell_moves_mean_toward_best(self, key):
+        params, state = cma.init(np.zeros(4), sigma=1.0)
+        x = cma.ask(params, state, key)
+        f = jnp.sum((x - 1.0) ** 2, axis=-1)
+        new = cma.tell(params, state, x, f)
+        d0 = float(jnp.linalg.norm(state.mean - 1.0))
+        d1 = float(jnp.linalg.norm(new.mean - 1.0))
+        assert d1 < d0
+        assert int(new.gen) == 1
+
+    def test_wrapper_class_api(self):
+        opt = cma.CMA(mu=np.zeros(16), sigma=1.0, seed=3)
+        assert opt.batch_size() == cma.default_popsize(16)
+        for _ in range(120):
+            x = opt.ask()
+            opt.tell(x, np.asarray(jnp.sum(x ** 2, axis=-1)))
+        assert float(jnp.linalg.norm(opt.mean())) < 1e-2
+
+    def test_whole_loop_scannable(self):
+        # an entire CMA run as ONE lax.scan — the on-device design goal
+        params, state = cma.init(np.zeros(6), sigma=1.0)
+        fn = lambda x: jnp.sum(x ** 2, axis=-1)
+
+        @jax.jit
+        def run(state, keys):
+            def body(s, k):
+                x = cma.ask(params, s, k)
+                return cma.tell(params, s, x, fn(x)), jnp.min(fn(x))
+            return jax.lax.scan(body, state, keys)
+
+        keys = jax.random.split(jax.random.PRNGKey(0), 200)
+        final, mins = run(state, keys)
+        assert float(mins[-1]) < 1e-6
+        assert int(final.gen) == 200
