@@ -1,0 +1,221 @@
+"""The execution core: fused forward/loss/grad steps.
+
+TPU-native replacement for the reference's closure machinery
+(``pix2latent/optimizer/closure.py:6-79``). Where the reference loops over
+mini-batch chunks, calls the model, backprops, and syncs the loss to the host
+*every step*, here an entire run of inner gradient steps is ONE jitted
+``lax.scan``:
+
+    hooks -> model forward -> loss -> grad -> per-variable Adam update
+
+with the population dimension vmapped-by-construction (all variables carry a
+leading ``pop`` axis) and optionally sharded across a device mesh. Per-step
+losses come back as a single ``[n_steps, pop]`` array at the end — zero
+host round-trips inside the loop (the reference paid one per step,
+``closure.py:60``).
+
+Variable-name contract (same as the reference): registered *input* variable
+names are the model's forward kwargs; *output* variable names are the loss
+kwargs (``examples/invert_biggan_adam.py:59-60``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pix2latent_tpu.models.base import as_model
+from pix2latent_tpu.parallel.mesh import (population_sharding, replicate,
+                                          shard_variables)
+from pix2latent_tpu.utils.image import binarize
+from pix2latent_tpu.variables import VariableManager, Variables
+
+
+class ExecutionCore:
+    """Builds and caches the jitted step programs for one inversion problem."""
+
+    def __init__(self, model, var_manager: VariableManager, loss_fn: Callable,
+                 mesh=None, track_variables: bool = False):
+        self.model = as_model(model)
+        self.var_manager = var_manager
+        self.loss_fn = loss_fn
+        self.mesh = mesh
+        self.track_variables = track_variables
+        self.optimizer = var_manager.make_optimizer()
+        # transform registry: dst var name -> dict(fn, param name)
+        self.transform_fns: Dict[str, dict] = {}
+        self._compiled: Dict[Any, Callable] = {}
+
+    # ------------------------------------------------------------------ #
+    # transforms (reference base_optimizer.py:44-78)                     #
+    # ------------------------------------------------------------------ #
+
+    def register_transform(self, transform_fn, transform_var_name: str,
+                           target_var_name: str):
+        """Warp ``target_var`` by the ``transform_var`` parameter before the
+        inner loop (reference ``_BaseOptimizer.register_transform``)."""
+        self.transform_fns[target_var_name] = {
+            "fn": transform_fn,
+            "transform_param": transform_var_name,
+            "target_var": target_var_name,
+        }
+
+    def apply_transforms(self, variables: Variables) -> Variables:
+        """Pure version of ``_BaseOptimizer.apply_transform``: returns new
+        variables with each registered dst var warped by its transform."""
+        if not self.transform_fns:
+            return variables
+        info = self.var_manager.variable_info
+        out = {vt: dict(d) for vt, d in variables.items()}
+        for dst_name, td in self.transform_fns.items():
+            src_type = info[td["transform_param"]]["var_type"]
+            dst_type = info[dst_name]["var_type"]
+            t = out[src_type][td["transform_param"]]
+            out[dst_type][dst_name] = td["fn"](out[dst_type][dst_name], t)
+        return out
+
+    # ------------------------------------------------------------------ #
+    # fused forward / loss                                               #
+    # ------------------------------------------------------------------ #
+
+    def _forward_loss(self, params, variables: Variables):
+        inputs = variables.get("input", {})
+        outputs = variables.get("output", {})
+        out = self.model.apply(params, **inputs)
+        loss_map = self.loss_fn(out, **outputs)
+        pop = out.shape[0]
+        per_sample = loss_map.reshape(pop, -1).mean(axis=1)
+        return per_sample.mean(), (per_sample, out)
+
+    def _get(self, kind, **static):
+        key = (kind, tuple(sorted(static.items())))
+        if key not in self._compiled:
+            self._compiled[key] = self._build(kind, **static)
+        return self._compiled[key]
+
+    def _build(self, kind, **static):
+        vm = self.var_manager
+
+        if kind == "eval":
+            def eval_fn(params, variables, key, step):
+                variables = vm.apply_hooks(key, variables, step)
+                _, (per_sample, out) = self._forward_loss(params, variables)
+                return out, per_sample
+            return jax.jit(eval_fn)
+
+        if kind == "grad_scan":
+            n_steps = static["n_steps"]
+            track = static["track"]
+
+            def scan_fn(params, variables, opt_state, key, start_step):
+                grad_fn = jax.value_and_grad(
+                    self._forward_loss, argnums=1, has_aux=True)
+
+                def body(carry, xs):
+                    variables, opt_state, _ = carry
+                    i, k = xs
+                    variables = vm.apply_hooks(k, variables, i)
+                    (_, (per_sample, out)), grads = grad_fn(params, variables)
+                    updates, opt_state = self.optimizer.update(
+                        grads, opt_state, variables)
+                    variables = optax.apply_updates(variables, updates)
+                    ys = {"loss": per_sample}
+                    if track:
+                        ys["tracked"] = variables.get("input", {})
+                    return (variables, opt_state, out), ys
+
+                pop = jax.tree.leaves(variables)[0].shape[0]
+                out0 = jnp.zeros(self._out_shape(params, variables),
+                                 jnp.float32)
+                steps = start_step + jnp.arange(n_steps)
+                keys = jax.random.split(key, n_steps)
+                (variables, opt_state, out), ys = jax.lax.scan(
+                    body, (variables, opt_state, out0), (steps, keys))
+                return variables, opt_state, out, ys
+            return jax.jit(scan_fn)
+
+        if kind == "tell_loss":
+            # CMA tell loss: a fresh forward of the post-inner-loop variables
+            # (the reference re-evaluates inside cma_update when loss=None,
+            # ``base_cma_optimizer.py:113-114``); with a registered transform,
+            # the output is un-warped back to the ORIGINAL frame and scored
+            # against the un-warped target (``base_cma_optimizer.py:118-139``,
+            # inverted_loss=True).
+            inverted = static["inverted"]
+
+            def tell_fn(params, variables, key, step):
+                variables = vm.apply_hooks(key, variables, step)
+                _, (per_sample, out) = self._forward_loss(params, variables)
+                use_inv = (inverted and self.transform_fns
+                           and "transform" in variables)
+                if not use_inv:
+                    return per_sample
+                info = vm.variable_info
+                target = info["target"]["default"][None]
+                weight = info["weight"]["default"][None]
+                td = self.transform_fns["target"]
+                t = variables[info[td["transform_param"]]["var_type"]][
+                    td["transform_param"]]
+                out_inv = td["fn"](out, t, invert=True)
+                loss_map = self.loss_fn(out_inv, target=target,
+                                        weight=binarize(weight))
+                pop = out.shape[0]
+                return loss_map.reshape(pop, -1).mean(axis=1)
+            return jax.jit(tell_fn)
+
+        raise ValueError(kind)
+
+    def _out_shape(self, params, variables):
+        """Static output shape via eval_shape (no FLOPs)."""
+        shape = jax.eval_shape(
+            lambda p, v: self._forward_loss(p, v)[1][1], params, variables)
+        return shape.shape
+
+    # ------------------------------------------------------------------ #
+    # public steps                                                       #
+    # ------------------------------------------------------------------ #
+
+    def eval(self, variables, key, step=0):
+        """Hooks + forward + per-sample loss; no updates. Returns (out, loss)."""
+        return self._get("eval")(self.model.params, variables, key,
+                                 jnp.asarray(step, jnp.int32))
+
+    def grad_steps(self, variables, opt_state, key, n_steps,
+                   start_step=0, track: Optional[bool] = None):
+        """Run ``n_steps`` fused hook/forward/grad/Adam steps as one scan.
+
+        Returns ``(variables, opt_state, out, ys)`` where ``ys['loss']`` is
+        ``[n_steps, pop]`` and ``ys['tracked']`` (when tracking) stacks the
+        input variables per step.
+        """
+        track = self.track_variables if track is None else track
+        fn = self._get("grad_scan", n_steps=int(n_steps), track=bool(track))
+        return fn(self.model.params, variables, opt_state, key,
+                  jnp.asarray(start_step, jnp.int32))
+
+    def tell_loss(self, variables, key, step=0, inverted=True):
+        """Fresh per-sample loss for the CMA tell (un-warped frame when a
+        transform is registered and ``inverted``)."""
+        return self._get("tell_loss", inverted=bool(inverted))(
+            self.model.params, variables, key, jnp.asarray(step, jnp.int32))
+
+    def init_opt_state(self, variables):
+        return self.optimizer.init(variables)
+
+    # ------------------------------------------------------------------ #
+    # sharding                                                           #
+    # ------------------------------------------------------------------ #
+
+    def place(self, variables: Variables) -> Variables:
+        """Shard the population across the mesh (no-op without a mesh)."""
+        if self.mesh is None:
+            return variables
+        return shard_variables(variables, self.mesh)
+
+    def place_replicated(self, tree):
+        if self.mesh is None:
+            return tree
+        return replicate(tree, self.mesh)

@@ -1,0 +1,86 @@
+"""Gradient-free strategy driver mixin (the Nevergrad-bridge replacement).
+
+Counterpart of the reference's ``_BaseNevergradOptimizer``
+(``pix2latent/optimizer/base_ng_optimizer.py:10-171``): same
+setup/init/update flow, but the strategy registry is the on-device
+``pix2latent_tpu.strategies.registry`` — population size is free (unlike
+PyCMA) and the whole ask/eval/tell loop stays on device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pix2latent_tpu.parallel.mesh import pad_population
+from pix2latent_tpu.strategies.registry import registry
+from pix2latent_tpu.utils.misc import cprint
+
+
+class _BaseNGOptimizer:
+    """Mixin used jointly with ``_BaseOptimizer``. Only a single grad-free
+    variable is supported (the reference asserts the same,
+    ``base_ng_optimizer.py:86-88``)."""
+
+    def __init__(self, method: str):
+        self.method = method
+        self.valid_methods = sorted(registry)
+        assert method in registry, (
+            f"unknown strategy: {method}; available: {self.valid_methods}")
+        self.ng_strategy = None
+        self.ng_state = None
+        self._gf_var = None
+        self._sampled = None
+
+    def setup_ng(self, var_manager, num_samples: int, budget=None):
+        """Initialize the strategy for the grad-free variable (reference
+        ``base_ng_optimizer.py:51-89``; ``budget`` kept for API parity)."""
+        gf = var_manager.grad_free_variables()
+        assert len(gf) == 1, (
+            "currently only a single variable can be optimized gradient-free "
+            f"but got: {[(vt, n) for vt, n, _ in gf]}")
+        var_type, name, spec = gf[0]
+        shape = spec["shape"]
+        dim = int(np.prod(shape))
+
+        mu, sigma = None, 1.0
+        if isinstance(spec["grad_free"], tuple):
+            m, s = spec["grad_free"]
+            if m is not None:
+                mu = np.asarray(m, np.float32).reshape(-1)
+            if s is not None:
+                sigma = float(s)
+
+        num_samples = pad_population(num_samples, getattr(self, "mesh", None))
+        self.ng_strategy = registry[self.method](dim, num_samples, mu, sigma)
+        self.ng_state = self.ng_strategy.init(self.next_key())
+        self.num_samples = num_samples
+        self._gf_var = (var_type, name, shape)
+        cprint(f"({self.method}) number of samples: {num_samples}", "y")
+
+    def ng_init(self, var_manager, num_samples: Optional[int] = None, key=None):
+        """Fresh population with the grad-free variable filled from ask
+        (reference ``base_ng_optimizer.py:92-117``)."""
+        if key is None:
+            key = self.next_key()
+        k_init, k_ask = jax.random.split(key)
+        variables = var_manager.initialize(num_samples=self.num_samples,
+                                           key=k_init)
+        x = self.ng_strategy.ask(self.ng_state, k_ask)
+        var_type, name, shape = self._gf_var
+        variables[var_type][name] = x.reshape(self.num_samples, *shape)
+        self._sampled = x
+        return self.core.place(variables)
+
+    def ng_update(self, variables, loss=None, inverted_loss=False, step=0):
+        """Tell the strategy the population fitness (reference
+        ``base_ng_optimizer.py:120-171``)."""
+        if loss is None:
+            loss = self.core.tell_loss(variables, self.next_key(), step,
+                                       inverted=inverted_loss)
+        self.ng_state = self.ng_strategy.tell(self.ng_state, self._sampled,
+                                              jnp.asarray(loss))
+        return loss

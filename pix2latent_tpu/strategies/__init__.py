@@ -7,5 +7,6 @@
 
 from pix2latent_tpu.strategies import cma
 from pix2latent_tpu.strategies.cma import CMA
+from pix2latent_tpu.strategies.registry import registry
 
-__all__ = ["cma", "CMA"]
+__all__ = ["cma", "CMA", "registry"]

@@ -1,0 +1,259 @@
+"""Pluggable gradient-free strategies (the Nevergrad replacement).
+
+The reference's ``_BaseNevergradOptimizer`` bridges to the host-side
+``nevergrad`` registry (``pix2latent/optimizer/base_ng_optimizer.py:10-171``).
+Here the registry holds *on-device* ask/tell strategies with a uniform pure
+interface, so hybrid (NG outer × Adam inner) runs stay fused on TPU and —
+unlike PyCMA — support an arbitrary population size (``num_samples``):
+
+    strategy = registry['CMA'](dim, num_samples, mu, sigma)
+    state    = strategy.init(key)
+    x        = strategy.ask(state, key)        # [num_samples, dim]
+    state    = strategy.tell(state, x, loss)   # loss: [num_samples]
+    best     = strategy.mean(state)
+
+All are standard published algorithms: CMA-ES, (μ/μ,λ)-ES with cumulative
+step-size (TBPSA-style), (1+λ)-ES with 1/5th-rule, differential evolution
+(DE/rand/1/bin), particle swarm (PSO), and random search.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pix2latent_tpu.strategies import cma as cma_mod
+
+
+class _Base:
+    def __init__(self, dim, num_samples, mu=None, sigma=1.0):
+        self.dim = int(dim)
+        self.num_samples = int(num_samples)
+        self.mu0 = (jnp.zeros(dim, jnp.float32) if mu is None
+                    else jnp.asarray(mu, jnp.float32).reshape(-1))
+        self.sigma0 = float(sigma)
+
+    def init(self, key):
+        raise NotImplementedError
+
+    def ask(self, state, key):
+        raise NotImplementedError
+
+    def tell(self, state, x, loss):
+        raise NotImplementedError
+
+    def mean(self, state):
+        raise NotImplementedError
+
+
+class CMAStrategy(_Base):
+    """Full CMA-ES at a user-chosen population size."""
+
+    def __init__(self, dim, num_samples, mu=None, sigma=1.0):
+        super().__init__(dim, num_samples, mu, sigma)
+        self.params, self._state0 = cma_mod.init(
+            self.mu0, self.sigma0, popsize=max(self.num_samples, 2))
+
+    def init(self, key):
+        return self._state0
+
+    def ask(self, state, key):
+        return cma_mod.ask(self.params, state, key)
+
+    def tell(self, state, x, loss):
+        return cma_mod.tell(self.params, state, x, loss)
+
+    def mean(self, state):
+        return state.mean
+
+
+class _MuState(NamedTuple):
+    mean: jax.Array
+    sigma: jax.Array
+
+
+class TBPSAStrategy(_Base):
+    """Simplified population-based self-adaptation: sample around the mean
+    with per-candidate log-normal sigma mutation; recombine the top half of
+    both mean and sigma (the TBPSA idea of adapting step-size by selection).
+    """
+
+    class State(NamedTuple):
+        mean: jax.Array
+        sigma: jax.Array  # scalar
+
+    def init(self, key):
+        return self.State(self.mu0, jnp.asarray(self.sigma0, jnp.float32))
+
+    def ask(self, state, key):
+        k1, k2 = jax.random.split(key)
+        # per-candidate sigma jitter (stored implicitly via reconstruction)
+        logj = 0.3 * jax.random.normal(k1, (self.num_samples, 1))
+        self._last_sigmas = state.sigma * jnp.exp(logj)
+        eps = jax.random.normal(k2, (self.num_samples, self.dim))
+        return state.mean[None] + self._last_sigmas * eps
+
+    def tell(self, state, x, loss):
+        k = max(self.num_samples // 2, 1)
+        idx = jnp.argsort(loss)[:k]
+        new_mean = jnp.mean(x[idx], axis=0)
+        # recover per-candidate sigmas from distances (robust to external x)
+        d = jnp.linalg.norm(x - state.mean[None], axis=1) / np.sqrt(self.dim)
+        new_sigma = jnp.clip(jnp.mean(d[idx]), 1e-8, 1e8)
+        return self.State(new_mean, new_sigma)
+
+    def mean(self, state):
+        return state.mean
+
+
+class OnePlusOneStrategy(_Base):
+    """(1+λ)-ES with the 1/5th success rule; λ = num_samples parallel
+    mutations of the incumbent per generation."""
+
+    class State(NamedTuple):
+        best_x: jax.Array
+        best_f: jax.Array
+        sigma: jax.Array
+
+    def init(self, key):
+        return self.State(self.mu0, jnp.asarray(jnp.inf, jnp.float32),
+                          jnp.asarray(self.sigma0, jnp.float32))
+
+    def ask(self, state, key):
+        eps = jax.random.normal(key, (self.num_samples, self.dim))
+        return state.best_x[None] + state.sigma * eps
+
+    def tell(self, state, x, loss):
+        i = jnp.argmin(loss)
+        improved = loss[i] < state.best_f
+        best_x = jnp.where(improved, x[i], state.best_x)
+        best_f = jnp.minimum(loss[i], state.best_f)
+        # 1/5th rule, adjusted for λ parallel trials per generation
+        grow = jnp.exp(1.0 / 3.0)
+        shrink = jnp.exp(-1.0 / (3.0 * 4.0))
+        sigma = jnp.clip(state.sigma * jnp.where(improved, grow, shrink),
+                         1e-9, 1e9)
+        return self.State(best_x, best_f, sigma)
+
+    def mean(self, state):
+        return state.best_x
+
+
+class DEStrategy(_Base):
+    """Differential evolution, DE/rand/1/bin (F=0.8, CR=0.9)."""
+    F = 0.8
+    CR = 0.9
+
+    class State(NamedTuple):
+        pop: jax.Array     # [n, dim]
+        fit: jax.Array     # [n]
+
+    def init(self, key):
+        pop = self.mu0[None] + self.sigma0 * jax.random.normal(
+            key, (self.num_samples, self.dim))
+        return self.State(pop, jnp.full((self.num_samples,), jnp.inf))
+
+    def ask(self, state, key):
+        n = self.num_samples
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        a = jax.random.randint(k1, (n,), 0, n)
+        b = jax.random.randint(k2, (n,), 0, n)
+        c = jax.random.randint(k3, (n,), 0, n)
+        mutant = state.pop[a] + self.F * (state.pop[b] - state.pop[c])
+        cross = jax.random.uniform(k4, (n, self.dim)) < self.CR
+        return jnp.where(cross, mutant, state.pop)
+
+    def tell(self, state, x, loss):
+        better = loss < state.fit
+        pop = jnp.where(better[:, None], x, state.pop)
+        fit = jnp.where(better, loss, state.fit)
+        return self.State(pop, fit)
+
+    def mean(self, state):
+        return state.pop[jnp.argmin(state.fit)]
+
+
+class PSOStrategy(_Base):
+    """Global-best particle swarm (w=0.72, c1=c2=1.49)."""
+    W = 0.72
+    C1 = 1.49
+    C2 = 1.49
+
+    class State(NamedTuple):
+        pos: jax.Array
+        vel: jax.Array
+        pbest: jax.Array
+        pbest_f: jax.Array
+        gbest: jax.Array
+        gbest_f: jax.Array
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        pos = self.mu0[None] + self.sigma0 * jax.random.normal(
+            k1, (self.num_samples, self.dim))
+        vel = 0.1 * self.sigma0 * jax.random.normal(
+            k2, (self.num_samples, self.dim))
+        inf = jnp.full((self.num_samples,), jnp.inf)
+        return self.State(pos, vel, pos, inf, self.mu0,
+                          jnp.asarray(jnp.inf, jnp.float32))
+
+    def ask(self, state, key):
+        k1, k2 = jax.random.split(key)
+        r1 = jax.random.uniform(k1, state.pos.shape)
+        r2 = jax.random.uniform(k2, state.pos.shape)
+        vel = (self.W * state.vel
+               + self.C1 * r1 * (state.pbest - state.pos)
+               + self.C2 * r2 * (state.gbest[None] - state.pos))
+        self._last_vel = vel
+        return state.pos + vel
+
+    def tell(self, state, x, loss):
+        vel = x - state.pos  # reconstruct (ask may be stateless-replayed)
+        better = loss < state.pbest_f
+        pbest = jnp.where(better[:, None], x, state.pbest)
+        pbest_f = jnp.where(better, loss, state.pbest_f)
+        i = jnp.argmin(pbest_f)
+        gbest = jnp.where(pbest_f[i] < state.gbest_f, pbest[i], state.gbest)
+        gbest_f = jnp.minimum(pbest_f[i], state.gbest_f)
+        return self.State(x, vel, pbest, pbest_f, gbest, gbest_f)
+
+    def mean(self, state):
+        return state.gbest
+
+
+class RandomSearchStrategy(_Base):
+    """i.i.d. Gaussian sampling around the origin; keeps the best."""
+
+    class State(NamedTuple):
+        best_x: jax.Array
+        best_f: jax.Array
+
+    def init(self, key):
+        return self.State(self.mu0, jnp.asarray(jnp.inf, jnp.float32))
+
+    def ask(self, state, key):
+        return self.mu0[None] + self.sigma0 * jax.random.normal(
+            key, (self.num_samples, self.dim))
+
+    def tell(self, state, x, loss):
+        i = jnp.argmin(loss)
+        best_x = jnp.where(loss[i] < state.best_f, x[i], state.best_x)
+        best_f = jnp.minimum(loss[i], state.best_f)
+        return self.State(best_x, best_f)
+
+    def mean(self, state):
+        return state.best_x
+
+
+registry = {
+    "CMA": CMAStrategy,
+    "TBPSA": TBPSAStrategy,
+    "OnePlusOne": OnePlusOneStrategy,
+    "DE": DEStrategy,
+    "TwoPointsDE": DEStrategy,     # alias: closest built-in behavior
+    "PSO": PSOStrategy,
+    "RandomSearch": RandomSearchStrategy,
+}

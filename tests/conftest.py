@@ -7,7 +7,9 @@ benchmarks.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin overrides JAX_PLATFORMS at import time, so force the
+# platform through jax.config as well as the environment.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, (
+    f"test harness expected 8 virtual CPU devices, got {jax.devices()}")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,181 @@
+"""End-to-end optimizer tests against a frozen toy generator.
+
+The reference had no tests; this suite plays the role of its runnable
+examples (SURVEY.md §4): each driver must actually invert a known target.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pix2latent_tpu.loss_functions as LF
+from pix2latent_tpu import VariableManager, distribution as dist, hooks
+from pix2latent_tpu.models.toy import make_toy_model
+from pix2latent_tpu.optimizers import (BasinCMAOptimizer, CMAOptimizer,
+                                       GradientOptimizer,
+                                       HybridNevergradOptimizer,
+                                       NevergradOptimizer)
+
+Z_DIM = 8
+RES = 16
+
+
+@pytest.fixture(scope="module")
+def model():
+    return make_toy_model(z_dim=Z_DIM, res=RES, width=16, seed=0)
+
+
+@pytest.fixture(scope="module")
+def target_and_z(model):
+    z_true = jax.random.normal(jax.random.PRNGKey(7), (1, Z_DIM))
+    target = model(z=z_true)[0]
+    return target, z_true
+
+
+def make_vm(target, grad_free=False, lr=0.05):
+    vm = VariableManager(seed=0)
+    vm.register("z", shape=(Z_DIM,), var_type="input", grad_free=grad_free,
+                distribution=dist.TruncatedNormalModulo(sigma=1.0, trunc=2.0),
+                learning_rate=lr, hook_fn=hooks.Clamp(4.0))
+    vm.register("target", shape=(RES, RES, 3), var_type="output",
+                requires_grad=False, default=target)
+    vm.register("weight", shape=(RES, RES, 3), var_type="output",
+                requires_grad=False, default=jnp.ones((RES, RES, 3)))
+    return vm
+
+
+def loss_fn(out, target, weight):
+    return LF.masked_l1_loss(out, target, weight)
+
+
+class TestGradientOptimizer:
+    def test_inverts_toy_generator(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target)
+        opt = GradientOptimizer(model, vm, loss_fn, log=False)
+        variables, outs, losses = opt.optimize(num_samples=4, grad_steps=150)
+        final = np.asarray(losses[-1][1]["loss"])
+        assert final.shape == (4,)
+        assert final.min() < 0.05
+        # collage frame returned
+        assert outs[0].ndim == 3
+
+    def test_log_mode_collects_curve_and_frames(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target)
+        opt = GradientOptimizer(model, vm, loss_fn, log=True)
+        variables, outs, losses = opt.optimize(num_samples=2, grad_steps=20)
+        assert len(losses) == 4  # every log_iter=5
+        iters = [it for it, _ in losses]
+        assert iters == [5, 10, 15, 20]
+        assert len(outs) == 4
+        assert outs[0].dtype == np.uint8
+        # loss decreases
+        assert losses[-1][1]["loss"].min() < losses[0][1]["loss"].min()
+
+    def test_tracked_variables(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target)
+        opt = GradientOptimizer(model, vm, loss_fn, track_variables=True)
+        opt.optimize(num_samples=2, grad_steps=10)
+        assert "z" in opt.tracked
+        assert opt.tracked["z"].shape == (10, 2, Z_DIM)
+
+    def test_hooks_enforced_during_optimization(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target)
+        vm.edit_variable("z", {"hook_fn": hooks.Clamp(0.1)})
+        opt = GradientOptimizer(model, vm, loss_fn)
+        variables, _, _ = opt.optimize(num_samples=2, grad_steps=5)
+        # values drift at most one Adam step beyond the clamp
+        assert float(jnp.max(jnp.abs(variables["input"]["z"]))) <= 0.1 + 0.06
+
+
+class TestCMAOptimizer:
+    def test_gradient_free_inversion_improves(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = CMAOptimizer(model, vm, loss_fn)
+        variables, outs, losses = opt.optimize(meta_steps=30, grad_steps=0)
+        assert losses[-1][1]["loss"].min() < 0.25
+
+    def test_popsize_matches_formula(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = CMAOptimizer(model, vm, loss_fn)
+        opt.setup_cma(vm)
+        from pix2latent_tpu.strategies.cma import default_popsize
+        assert opt.num_samples == default_popsize(Z_DIM)
+
+    def test_num_samples_must_be_none(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = CMAOptimizer(model, vm, loss_fn)
+        with pytest.raises(AssertionError):
+            opt.optimize(meta_steps=1, num_samples=9)
+
+
+class TestBasinCMA:
+    def test_flagship_beats_pure_cma_at_matched_meta_budget(
+            self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = BasinCMAOptimizer(model, vm, loss_fn)
+        variables, outs, losses = opt.optimize(
+            meta_steps=8, grad_steps=10, last_grad_steps=40)
+        final = losses[-1][1]["loss"]
+        assert final.min() < 0.05
+
+    def test_grad_free_seed_tuple(self, model, target_and_z):
+        target, z_true = target_and_z
+        vm = make_vm(target,
+                     grad_free=(np.asarray(z_true[0]), 0.2))
+        opt = BasinCMAOptimizer(model, vm, loss_fn)
+        variables, outs, losses = opt.optimize(
+            meta_steps=2, grad_steps=5, last_grad_steps=10)
+        assert losses[-1][1]["loss"].min() < 0.05
+
+
+class TestNGOptimizers:
+    @pytest.mark.parametrize("method", ["CMA", "DE", "PSO", "OnePlusOne",
+                                        "TBPSA", "RandomSearch"])
+    def test_strategies_improve_on_toy(self, model, target_and_z, method):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = NevergradOptimizer(method, model, vm, loss_fn)
+        variables, outs, losses = opt.optimize(
+            num_samples=12, meta_steps=15, grad_steps=0)
+        first = float(np.asarray(losses[0][1]["loss"]).min()) \
+            if len(losses) > 1 else None
+        final = float(np.asarray(losses[-1][1]["loss"]).min())
+        assert final < 0.4
+
+    def test_hybrid_ng(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = HybridNevergradOptimizer("CMA", model, vm, loss_fn)
+        variables, outs, losses = opt.optimize(
+            num_samples=8, meta_steps=4, grad_steps=8, last_grad_steps=20)
+        assert losses[-1][1]["loss"].min() < 0.08
+
+    def test_unknown_method_rejected(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        with pytest.raises(AssertionError):
+            NevergradOptimizer("NoSuchMethod", model, vm, loss_fn)
+
+
+class TestShardedPopulation:
+    def test_population_sharded_over_mesh(self, model, target_and_z):
+        from pix2latent_tpu.parallel import make_mesh
+        target, _ = target_and_z
+        mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+        assert mesh.shape["pop"] == 8
+        vm = make_vm(target, grad_free=True)
+        opt = BasinCMAOptimizer(model, vm, loss_fn, mesh=mesh)
+        variables, outs, losses = opt.optimize(
+            meta_steps=2, grad_steps=5, last_grad_steps=5)
+        # popsize padded to a multiple of 8 (default for d=8 is 10 -> 16)
+        assert opt.num_samples % 8 == 0
+        assert losses[-1][1]["loss"].shape == (opt.num_samples,)
