@@ -155,13 +155,15 @@ class ExecutionCore:
                     return per_sample
                 info = vm.variable_info
                 target = info["target"]["default"][None]
-                weight = info["weight"]["default"][None]
                 td = self.transform_fns["target"]
                 t = variables[info[td["transform_param"]]["var_type"]][
                     td["transform_param"]]
                 out_inv = td["fn"](out, t, invert=True)
-                loss_map = self.loss_fn(out_inv, target=target,
-                                        weight=binarize(weight))
+                kwargs = {}
+                if "weight" in info and info["weight"]["default"] is not None:
+                    kwargs["weight"] = binarize(
+                        info["weight"]["default"][None])
+                loss_map = self.loss_fn(out_inv, target=target, **kwargs)
                 pop = out.shape[0]
                 return loss_map.reshape(pop, -1).mean(axis=1)
             return jax.jit(tell_fn)
