@@ -180,18 +180,25 @@ def random_init_params(net: str, key=None, image_size: int = 64):
     Linear-head weights are squared to be non-negative like trained LPIPS
     heads, so the random-init metric is still a valid distance-like quantity.
     """
-    if key is None:
-        key = jax.random.PRNGKey(0)
+    del key  # deterministic host RNG below
     mod = LPIPSModule(net=net)
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-    params = mod.init(key, dummy, dummy)["params"]
+    # shape-only init: abstract trace, no device compile at construction
+    shapes = jax.eval_shape(
+        lambda k: mod.init(k, dummy, dummy), jax.random.PRNGKey(0))["params"]
+    rng = np.random.RandomState(0)
 
-    def square_lin(path, leaf):
-        names = [getattr(p, "key", "") for p in path]
-        if any(str(n).startswith("lin") for n in names):
-            return (leaf ** 2) * 10.0 / leaf.shape[-2]
-        return leaf
-    return jax.tree_util.tree_map_with_path(square_lin, params)
+    def make(path, leaf):
+        names = [str(getattr(p, "key", "")) for p in path]
+        arr = np.asarray(rng.randn(*leaf.shape), np.float32)
+        if any(n.startswith("lin") for n in names):
+            return jnp.asarray((arr ** 2) * 10.0 / leaf.shape[-2])
+        if names and names[-1] == "bias":
+            return jnp.zeros(leaf.shape, leaf.dtype)
+        # He-style scale for conv kernels keeps activations bounded
+        fan_in = int(np.prod(leaf.shape[:-1])) or 1
+        return jnp.asarray(arr * np.sqrt(2.0 / fan_in), dtype=leaf.dtype)
+    return jax.tree_util.tree_map_with_path(make, shapes)
 
 
 def convert_torch_lpips(state_dict, net: str = "alex"):

@@ -1,0 +1,413 @@
+"""StyleGAN2 generator in Flax (NHWC, TPU-native).
+
+The reference clones rosinality/stylegan2-pytorch at import time (compiling
+its CUDA ``upfirdn2d``/``fused_bias_act`` ops) and gdown's converted NVlabs
+checkpoints (``pix2latent/model/stylegan2.py:12-62``). This is a from-scratch
+Flax implementation of the same architecture (Karras et al., "Analyzing and
+Improving the Image Quality of StyleGAN", arXiv:1912.04958, config-f):
+
+- 8-layer mapping network (equalized linear, lr_mul 0.01, pixel-norm input);
+- skip-architecture synthesis: modulated 3x3 convs with weight demodulation,
+  FIR-blurred transpose-conv upsampling, per-layer noise, 1x1 ToRGB taps
+  accumulated through FIR-upsampled skips;
+- equalized learning-rate scaling applied at runtime (so converted rosinality
+  weights drop in unchanged).
+
+Modulated convolution uses the input-scaling formulation: conv(x * s) scaled
+by the demodulation factor computed from (W, s) — mathematically identical to
+materializing per-sample weights but keeps one shared conv per layer, which
+is what the TPU MXU wants (no grouped per-sample kernels).
+
+CUDA kernels are replaced by ``pix2latent_tpu.ops.upfirdn2d`` (XLA conv
+formulation). Without the checkpoint, weights are deterministic random
+(zero-egress fallback); ``convert_torch_stylegan2`` maps a rosinality
+``g_ema`` state_dict.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from pix2latent_tpu.models.base import FlaxModel
+from pix2latent_tpu.ops.upfirdn2d import (Blur, Upsample, fused_leaky_relu,
+                                          make_kernel, upfirdn2d)
+
+BLUR_KERNEL = (1, 3, 3, 1)
+
+
+def channels_for(res: int, channel_multiplier: int = 2):
+    """rosinality channel map (model.py Generator.channels)."""
+    return {
+        4: 512, 8: 512, 16: 512, 32: 512,
+        64: 256 * channel_multiplier,
+        128: 128 * channel_multiplier,
+        256: 64 * channel_multiplier,
+        512: 32 * channel_multiplier,
+        1024: 16 * channel_multiplier,
+    }[res]
+
+
+def pixel_norm(x, eps=1e-8):
+    return x * jax.lax.rsqrt(jnp.mean(x ** 2, axis=-1, keepdims=True) + eps)
+
+
+class EqualLinear(nn.Module):
+    """Equalized-lr linear: runtime scale 1/sqrt(fan_in) * lr_mul."""
+    features: int
+    lr_mul: float = 1.0
+    use_bias: bool = True
+    bias_init: float = 0.0
+    activation: bool = False   # fused leaky relu
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        weight = self.param(
+            "weight",
+            lambda k, s: jax.random.normal(k, s) / self.lr_mul,
+            (in_dim, self.features))
+        scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
+        out = x @ (weight * scale)
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.constant(self.bias_init),
+                (self.features,)) * self.lr_mul
+        if self.activation:
+            return fused_leaky_relu(out, bias)
+        return out if bias is None else out + bias
+
+
+class ModulatedConv(nn.Module):
+    """Weight-(de)modulated conv via input scaling (exact reformulation).
+
+    Weight stored [kh, kw, in, out] with equalized-lr runtime scale
+    1/sqrt(in*kh*kw). ``up=True`` runs the transpose-conv + FIR-blur pair.
+    """
+    out_ch: int
+    kernel_size: int = 3
+    demodulate: bool = True
+    up: bool = False
+
+    @nn.compact
+    def __call__(self, x, style):
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        weight = self.param("weight", nn.initializers.normal(1.0),
+                            (k, k, in_ch, self.out_ch))
+        scale = 1.0 / math.sqrt(in_ch * k * k)
+        # style head: EqualLinear(512 -> in_ch) with bias initialized to 1
+        # (rosinality's bias_init=1 convention; converted biases drop in)
+        s = EqualLinear(in_ch, bias_init=1.0, name="modulation")(style)
+
+        w = weight * scale                                   # [k,k,i,o]
+        x_mod = x * s[:, None, None, :]
+
+        if self.up:
+            # conv_transpose(stride 2, VALID) == dilated conv with flipped,
+            # io-swapped kernel
+            rhs = jnp.flip(w, axis=(0, 1))                   # [k,k,i,o]
+            y = jax.lax.conv_general_dilated(
+                x_mod, rhs,
+                window_strides=(1, 1),
+                padding=((k - 1, k - 1), (k - 1, k - 1)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            p = len(BLUR_KERNEL) - 2 - (k - 1)
+            blur = Blur(BLUR_KERNEL,
+                        pad=((p + 1) // 2 + 1, p // 2 + 1),
+                        upsample_factor=2)
+            y = blur(y)
+        else:
+            pad = k // 2
+            y = jax.lax.conv_general_dilated(
+                x_mod, w, (1, 1), ((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        if self.demodulate:
+            # d[n,o] = rsqrt( sum_{k,k,i} (w_kkio * s_ni)^2 + eps )
+            w2 = jnp.sum(w ** 2, axis=(0, 1))                # [i,o]
+            d = jax.lax.rsqrt((s ** 2) @ w2 + 1e-8)          # [n,o]
+            y = y * d[:, None, None, :]
+        return y
+
+
+class NoiseInjection(nn.Module):
+    @nn.compact
+    def __call__(self, x, noise):
+        w = self.param("weight", nn.initializers.zeros, ())
+        return x + w * noise.astype(x.dtype)
+
+
+class StyledConv(nn.Module):
+    out_ch: int
+    kernel_size: int = 3
+    up: bool = False
+
+    @nn.compact
+    def __call__(self, x, style, noise):
+        y = ModulatedConv(self.out_ch, self.kernel_size, up=self.up,
+                          name="conv")(x, style)
+        y = NoiseInjection(name="noise")(y, noise)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return fused_leaky_relu(y, bias)
+
+
+class ToRGB(nn.Module):
+    upsample: bool = True
+
+    @nn.compact
+    def __call__(self, x, style, skip=None):
+        y = ModulatedConv(3, 1, demodulate=False, name="conv")(x, style)
+        bias = self.param("bias", nn.initializers.zeros, (3,))
+        y = y + bias
+        if skip is not None:
+            if self.upsample:
+                skip = Upsample(BLUR_KERNEL)(skip)
+            y = y + skip
+        return y
+
+
+class StyleGAN2Generator(nn.Module):
+    """Synthesis + mapping. ``__call__`` mirrors rosinality's Generator
+    forward for the two paths the reference uses: z-space (mapped through the
+    style MLP) and w-space with explicit noise."""
+    im_res: int = 512
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: int = 2
+
+    @property
+    def log_size(self):
+        return int(math.log2(self.im_res))
+
+    @property
+    def num_layers(self):
+        return (self.log_size - 2) * 2 + 1
+
+    @property
+    def n_latent(self):
+        return self.log_size * 2 - 2
+
+    def noise_shapes(self):
+        shapes = []
+        for i in range(self.num_layers):
+            res = 2 ** ((i + 5) // 2)
+            shapes.append((1, res, res, 1))
+        return shapes
+
+    def setup(self):
+        cm = self.channel_multiplier
+        self.style_mlp = [
+            EqualLinear(self.style_dim, lr_mul=0.01, activation=True,
+                        name=f"style_{i}") for i in range(self.n_mlp)]
+        self.noise_buffers = [
+            self.param(f"noise_{i}", nn.initializers.normal(1.0), shape)
+            for i, shape in enumerate(self.noise_shapes())]
+        self.const_input = self.param(
+            "input", nn.initializers.normal(1.0),
+            (1, 4, 4, channels_for(4, cm)))
+        self.conv1 = StyledConv(channels_for(4, cm), name="conv1")
+        self.to_rgb1 = ToRGB(upsample=False, name="to_rgb1")
+        convs, to_rgbs = [], []
+        for li in range(self.log_size - 2):
+            res = 2 ** (li + 3)
+            ch = channels_for(res, cm)
+            convs.append(StyledConv(ch, up=True, name=f"convs_{2 * li}"))
+            convs.append(StyledConv(ch, name=f"convs_{2 * li + 1}"))
+            to_rgbs.append(ToRGB(name=f"to_rgbs_{li}"))
+        self.convs = convs
+        self.to_rgbs = to_rgbs
+
+    def style(self, z):
+        """Mapping network only: z -> w."""
+        h = pixel_norm(z)
+        for layer in self.style_mlp:
+            h = layer(h)
+        return h
+
+    def __call__(self, z, noises=None, input_is_latent=False):
+        w = z if input_is_latent else self.style(z)
+        if noises is None:
+            noises = self.noise_buffers
+
+        n = z.shape[0]
+        x = jnp.broadcast_to(self.const_input,
+                             (n, *self.const_input.shape[1:]))
+
+        x = self.conv1(x, w, noises[0])
+        skip = self.to_rgb1(x, w)
+
+        noise_i = 1
+        for li in range(self.log_size - 2):
+            x = self.convs[2 * li](x, w, noises[noise_i])
+            x = self.convs[2 * li + 1](x, w, noises[noise_i + 1])
+            skip = self.to_rgbs[li](x, w, skip)
+            noise_i += 2
+
+        return skip
+
+
+class StyleGAN2(FlaxModel):
+    """User-facing wrapper with the reference's interface
+    (``pix2latent/model/stylegan2.py:66-138``): ``search='z'`` runs the full
+    net; ``search='w+'`` takes a w latent plus a flattened noise vector
+    (``reshape_noise``). Output clamped to [-1, 1] like the reference.
+    """
+
+    MODELS = {"cars": 512, "ffhq": 1024}
+
+    def __init__(self, model: str = "cars", search: str = "z", params=None,
+                 pretrained_path: Optional[str] = None, seed: int = 0,
+                 channel_multiplier: int = 2):
+        assert model in self.MODELS, model
+        assert search in ("z", "w+"), search
+        self.im_res = self.MODELS[model]
+        self.search = search
+        module = StyleGAN2Generator(im_res=self.im_res,
+                                    channel_multiplier=channel_multiplier)
+
+        if params is None and pretrained_path:
+            import torch
+            ckpt = torch.load(pretrained_path, map_location="cpu")
+            sd = ckpt.get("g_ema", ckpt)
+            params = convert_torch_stylegan2(sd, self.im_res,
+                                             channel_multiplier)
+        if params is None:
+            warnings.warn(
+                "StyleGAN2: no pretrained weights — deterministic random "
+                "init (zero-egress fallback). Use convert_torch_stylegan2 "
+                "for the real checkpoint.", stacklevel=2)
+            shapes = jax.eval_shape(
+                lambda k: module.init(k, jnp.zeros((1, 512))),
+                jax.random.PRNGKey(0))
+            rng = np.random.RandomState(seed)
+            params = jax.tree.map(
+                lambda l: jnp.asarray(
+                    np.asarray(rng.randn(*l.shape), np.float32)
+                    * (0.1 if l.ndim else 0.0), l.dtype),
+                shapes)["params"]
+
+        super().__init__(module, params)
+
+        self.noise_shape = [list(s) for s in module.noise_shapes()]
+        self._mean_latent_cache = None
+
+    # -- latent statistics (reference stylegan2.py:93-104) ----------------- #
+
+    def mean_latent(self, n_sample=4096, key=None):
+        if self._mean_latent_cache is None:
+            key = key or jax.random.PRNGKey(0)
+            z = jax.random.normal(key, (n_sample, 512))
+            w = self.module.apply({"params": self.params}, z,
+                                  method=StyleGAN2Generator.style)
+            self._mean_latent_cache = jnp.mean(w, axis=0, keepdims=True)
+        return self._mean_latent_cache
+
+    def latent_stats(self, n_sample=4096, key=None):
+        key = key or jax.random.PRNGKey(0)
+        z = jax.random.normal(key, (n_sample, 512))
+        w = self.module.apply({"params": self.params}, z,
+                              method=StyleGAN2Generator.style)
+        mean = jnp.mean(w, axis=0)
+        std = jnp.sqrt(jnp.sum((w - mean) ** 2) / n_sample)
+        return mean, std
+
+    # -- forward paths ------------------------------------------------------ #
+
+    def apply(self, params, z=None, noises=None, truncation=1.0):
+        if self.search == "w+":
+            return self._forward_w(params, z, noises)
+        return self._forward_z(params, z)
+
+    def _forward_z(self, params, z):
+        out = self.module.apply({"params": params}, z)
+        return jnp.clip(out, -1.0, 1.0)
+
+    def _forward_w(self, params, z, noises):
+        noise_list = self.reshape_noise(noises)
+        out = self.module.apply({"params": params}, z, noises=noise_list,
+                                input_is_latent=True)
+        return jnp.clip(out, -1.0, 1.0)
+
+    def reshape_noise(self, z):
+        """Flattened per-layer noise vector -> list of [N,1,H,W]-style NHWC
+        noise maps (reference ``stylegan2.py:128-138``)."""
+        st = 0
+        noises = []
+        for d in self.noise_shape:
+            h, w = d[1], d[2]
+            en = st + h * w
+            noises.append(z[:, st:en].reshape(-1, h, w, 1))
+            st = en
+        assert z.shape[1] == en, (z.shape, en)
+        return noises
+
+    def noise_dim(self):
+        return sum(d[1] * d[2] for d in self.noise_shape)
+
+
+# --------------------------------------------------------------------- #
+# weight conversion (rosinality g_ema state_dict)                        #
+# --------------------------------------------------------------------- #
+
+def convert_torch_stylegan2(sd, im_res=512, channel_multiplier=2):
+    """Torch layouts: linear [out,in] -> [in,out]; conv [out,in,kh,kw] ->
+    HWIO; modulated conv stores weight [1,out,in,k,k]. Noise buffers
+    ``noises.noise_i`` [1,1,H,W] -> NHWC."""
+    import numpy as np
+
+    def t2j(v):
+        return jnp.asarray(np.asarray(v, np.float32))
+
+    def eq_linear(prefix):
+        p = {"weight": t2j(sd[f"{prefix}.weight"]).T}
+        if f"{prefix}.bias" in sd:
+            p["bias"] = t2j(sd[f"{prefix}.bias"])
+        return p
+
+    def mod_conv(prefix):
+        w = np.asarray(sd[f"{prefix}.weight"], np.float32)  # [1,o,i,k,k]
+        w = w[0].transpose(2, 3, 1, 0)                      # -> [k,k,i,o]
+        return {"weight": jnp.asarray(w),
+                "modulation": eq_linear(f"{prefix}.modulation")}
+
+    params = {}
+    for i in range(8):
+        params[f"style_{i}"] = eq_linear(f"style.{i + 1}")
+    params["input"] = t2j(sd["input.input"]).transpose(0, 2, 3, 1)
+
+    def styled_conv(dst, src):
+        params[dst] = {
+            "conv": mod_conv(f"{src}.conv"),
+            "noise": {"weight": t2j(sd[f"{src}.noise.weight"]).reshape(())},
+            "bias": t2j(sd[f"{src}.activate.bias"]),
+        }
+
+    def to_rgb(dst, src):
+        params[dst] = {
+            "conv": mod_conv(f"{src}.conv"),
+            "bias": t2j(sd[f"{src}.bias"]).reshape(-1),
+        }
+
+    styled_conv("conv1", "conv1")
+    to_rgb("to_rgb1", "to_rgb1")
+
+    log_size = int(math.log2(im_res))
+    for li in range(log_size - 2):
+        styled_conv(f"convs_{2 * li}", f"convs.{2 * li}")
+        styled_conv(f"convs_{2 * li + 1}", f"convs.{2 * li + 1}")
+        to_rgb(f"to_rgbs_{li}", f"to_rgbs.{li}")
+
+    num_layers = (log_size - 2) * 2 + 1
+    for i in range(num_layers):
+        params[f"noise_{i}"] = t2j(
+            sd[f"noises.noise_{i}"]).transpose(0, 2, 3, 1)
+    return params
