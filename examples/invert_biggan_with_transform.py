@@ -1,0 +1,90 @@
+"""BigGAN-256 inversion with spatial-transform alignment search (two-phase).
+
+TPU-native counterpart of the reference's
+``examples/invert_biggan_with_transform.py``: phase 1 searches the transform
+parameter t with TransformBasinCMA (+ z variable propagation); phase 2
+freezes the best t and runs the chosen latent optimizer.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax.numpy as jnp
+
+from examples.common import (base_parser, finish, load_biggan, load_target,
+                             make_loss, register_biggan_vars)
+from pix2latent_tpu import VariableManager
+from pix2latent_tpu.optimizers import (BasinCMAOptimizer, GradientOptimizer,
+                                       CMAOptimizer)
+from pix2latent_tpu.transform import (SpatialTransform,
+                                      TransformBasinCMAOptimizer)
+from pix2latent_tpu.utils import image
+
+
+def main():
+    p = base_parser(__doc__)
+    p.add_argument("--method", type=str, default="basincma",
+                   choices=["adam", "cma", "basincma"])
+    args = p.parse_args()
+    args.grad_free = False   # z is Adam-only during the transform phase
+    model = load_biggan(args)
+    target, weight = load_target(args, model, 256, style="biggan")
+    mask = image.binarize(weight) if args.mask_fp else weight
+
+    vm = register_biggan_vars(VariableManager(), model, args, target, weight)
+
+    # -- phase 1: transform search -- #
+    target_tf = SpatialTransform(pre_align=mask if args.mask_fp else None)
+    weight_tf = SpatialTransform(pre_align=mask if args.mask_fp else None)
+    t_dim = target_tf.get_default_param(as_tensor=False).shape[0]
+    vm.register("t", shape=(t_dim,), var_type="transform",
+                requires_grad=False, grad_free=True)
+
+    t_opt = TransformBasinCMAOptimizer(model, vm, make_loss(args),
+                                       log=args.make_video)
+    t_opt.register_transform(target_tf, "t", "target")
+    t_opt.register_transform(weight_tf, "t", "weight")
+    t_opt.set_variable_propagation("z")
+
+    meta, grad = (3, 4) if args.smoke else (50, 10)
+    t_vars, t_results, t_loss = t_opt.optimize(meta_steps=meta,
+                                               grad_steps=grad)
+    best_t = t_opt.get_candidate()
+    print("best transform:", best_t)
+
+    # -- phase 2: latent optimization with frozen transform -- #
+    vm.edit_variable("t", {"default": jnp.asarray(best_t),
+                           "grad_free": False})
+    vm.edit_variable("z", {"learning_rate": args.lr})
+
+    loss_fn = make_loss(args)
+    if args.method == "adam":
+        vm.edit_variable("z", {"grad_free": False})
+        opt = GradientOptimizer(model, vm, loss_fn, log=args.make_video)
+        opt.register_transform(target_tf, "t", "target")
+        opt.register_transform(weight_tf, "t", "weight")
+        variables, outs, losses = opt.optimize(
+            num_samples=args.num_samples,
+            grad_steps=20 if args.smoke else 500)
+    elif args.method == "cma":
+        vm.edit_variable("z", {"grad_free": True})
+        opt = CMAOptimizer(model, vm, loss_fn, log=args.make_video)
+        opt.register_transform(target_tf, "t", "target")
+        opt.register_transform(weight_tf, "t", "weight")
+        m, g = (3, 10) if args.smoke else (200, 300)
+        variables, outs, losses = opt.optimize(meta_steps=m, grad_steps=g)
+    else:
+        vm.edit_variable("z", {"grad_free": True})
+        opt = BasinCMAOptimizer(model, vm, loss_fn, log=args.make_video)
+        opt.register_transform(target_tf, "t", "target")
+        opt.register_transform(weight_tf, "t", "weight")
+        m, g, l = (2, 4, 8) if args.smoke else (30, 30, 300)
+        variables, outs, losses = opt.optimize(
+            meta_steps=m, grad_steps=g, last_grad_steps=l)
+
+    finish(args, opt, variables, outs, losses,
+           f"./results/biggan_256/{args.method}_w_transform")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,37 @@
+"""StyleGAN2 LSUN-Cars Adam inversion.
+
+TPU-native counterpart of the reference's
+``examples/invert_stylegan2_cars_adam.py``.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from examples.common import (base_parser, cars_loss_mask, finish,
+                             load_stylegan2, load_target, make_loss,
+                             register_stylegan2_vars)
+from pix2latent_tpu import VariableManager
+from pix2latent_tpu.optimizers import GradientOptimizer
+
+
+def main():
+    args = base_parser(__doc__, model="stylegan2").parse_args()
+    args.grad_free = False
+    model = load_stylegan2(args)
+    im = model.im_res
+    target, weight = load_target(args, model, im, style="stylegan2")
+
+    vm = register_stylegan2_vars(VariableManager(), model, args, target,
+                                 weight, loss_mask=cars_loss_mask(im))
+    opt = GradientOptimizer(model, vm, make_loss(args), log=args.make_video)
+    opt.log_resize_factor = 0.5
+
+    variables, outs, losses = opt.optimize(
+        num_samples=4 if args.smoke else args.num_samples,
+        grad_steps=10 if args.smoke else 500)
+    finish(args, opt, variables, outs, losses,
+           f"./results/stylegan2_{args.model}/adam")
+
+
+if __name__ == "__main__":
+    main()

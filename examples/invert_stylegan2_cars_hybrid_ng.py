@@ -1,0 +1,44 @@
+"""StyleGAN2 LSUN-Cars hybrid (strategy outer x Adam inner) inversion.
+
+TPU-native counterpart of the reference's
+``examples/invert_stylegan2_cars_hybrid_ng.py``.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from examples.common import (base_parser, cars_loss_mask, finish,
+                             load_stylegan2, load_target, make_loss,
+                             register_stylegan2_vars)
+from pix2latent_tpu import VariableManager
+from pix2latent_tpu.optimizers import HybridNevergradOptimizer
+
+
+def main():
+    p = base_parser(__doc__, model="stylegan2")
+    p.add_argument("--ng_method", type=str, default="CMA")
+    args = p.parse_args()
+    args.grad_free = True
+    model = load_stylegan2(args)
+    im = model.im_res
+    target, weight = load_target(args, model, im, style="stylegan2")
+
+    vm = register_stylegan2_vars(VariableManager(), model, args, target,
+                                 weight, loss_mask=cars_loss_mask(im))
+    opt = HybridNevergradOptimizer(args.ng_method, model, vm,
+                                   make_loss(args), log=args.make_video)
+    opt.log_resize_factor = 0.5
+
+    if args.smoke:
+        meta, grad, last = 2, 4, 8
+    else:
+        meta, grad, last = 30, 50, 300
+    variables, outs, losses = opt.optimize(
+        num_samples=args.num_samples, meta_steps=meta, grad_steps=grad,
+        last_grad_steps=last)
+    finish(args, opt, variables, outs, losses,
+           f"./results/stylegan2_{args.model}/hybridng_{args.ng_method}")
+
+
+if __name__ == "__main__":
+    main()

@@ -139,10 +139,13 @@ class PerceptualLoss:
     CUDA-module dispatch as in the reference's ``lpips`` package.
     """
 
-    def __init__(self, net="alex", params=None, pretrained_path=None):
+    def __init__(self, net="alex", params=None, pretrained_path=None,
+                 dtype=None):
         from pix2latent_tpu.losses.lpips import LPIPS
+        dtype = dtype if dtype is not None else jnp.float32
         self.lpips = LPIPS(net=net, params=params,
-                           pretrained_path=pretrained_path, spatial=True)
+                           pretrained_path=pretrained_path, spatial=True,
+                           dtype=dtype)
 
     def __call__(self, output, target, weight=None, loss_mask=None):
         target = _broadcast_batch(target, output.shape[0])
@@ -156,11 +159,12 @@ class ProjectionLoss:
     """
 
     def __init__(self, lpips_net="alex", beta=10.0, lpips_params=None,
-                 pretrained_path=None, loss_type="l1"):
+                 pretrained_path=None, loss_type="l1", dtype=None):
         self.beta = float(beta)
         self.rloss_fn = ReconstructionLoss(loss_type=loss_type)
         self.ploss_fn = PerceptualLoss(net=lpips_net, params=lpips_params,
-                                       pretrained_path=pretrained_path)
+                                       pretrained_path=pretrained_path,
+                                       dtype=dtype)
 
     def __call__(self, output, target, weight=None, loss_mask=None):
         rec = self.rloss_fn(output, target, weight, loss_mask)

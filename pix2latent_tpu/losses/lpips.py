@@ -46,28 +46,30 @@ NET_CHANNELS = {
 class AlexNetFeatures(nn.Module):
     """torchvision AlexNet.features re-expressed in NHWC; returns the five
     ReLU taps LPIPS uses (relu1..relu5)."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         taps = []
         x = nn.Conv(64, (11, 11), strides=(4, 4), padding=((2, 2), (2, 2)),
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x); taps.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.Conv(192, (5, 5), padding=((2, 2), (2, 2)), name="conv2")(x)
+        x = nn.Conv(192, (5, 5), padding=((2, 2), (2, 2)), dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x); taps.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = nn.Conv(384, (3, 3), padding=((1, 1), (1, 1)), name="conv3")(x)
+        x = nn.Conv(384, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv3")(x)
         x = nn.relu(x); taps.append(x)
-        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="conv4")(x)
+        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv4")(x)
         x = nn.relu(x); taps.append(x)
-        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), name="conv5")(x)
+        x = nn.Conv(256, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv5")(x)
         x = nn.relu(x); taps.append(x)
         return taps
 
 
 class VGG16Features(nn.Module):
     """torchvision VGG16.features; taps at relu1_2/2_2/3_3/4_3/5_3."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -77,7 +79,7 @@ class VGG16Features(nn.Module):
         for stage, (ch, reps) in enumerate(cfg):
             for r in range(reps):
                 x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                            name=f"conv{idx}")(x)
+                            dtype=self.dtype, name=f"conv{idx}")(x)
                 x = nn.relu(x)
                 idx += 1
             taps.append(x)
@@ -89,35 +91,37 @@ class VGG16Features(nn.Module):
 class _Fire(nn.Module):
     squeeze: int
     expand: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        s = nn.relu(nn.Conv(self.squeeze, (1, 1), name="squeeze")(x))
-        e1 = nn.relu(nn.Conv(self.expand, (1, 1), name="expand1x1")(s))
+        s = nn.relu(nn.Conv(self.squeeze, (1, 1), dtype=self.dtype, name="squeeze")(x))
+        e1 = nn.relu(nn.Conv(self.expand, (1, 1), dtype=self.dtype, name="expand1x1")(s))
         e3 = nn.relu(nn.Conv(self.expand, (3, 3),
-                             padding=((1, 1), (1, 1)), name="expand3x3")(s))
+                             padding=((1, 1), (1, 1)), dtype=self.dtype, name="expand3x3")(s))
         return jnp.concatenate([e1, e3], axis=-1)
 
 
 class SqueezeNetFeatures(nn.Module):
     """torchvision SqueezeNet 1.1 features; seven LPIPS taps."""
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         taps = []
-        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), name="conv1")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(2, 2), dtype=self.dtype, name="conv1")(x))
         taps.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = _Fire(16, 64, name="fire2")(x)
-        x = _Fire(16, 64, name="fire3")(x); taps.append(x)
+        x = _Fire(16, 64, dtype=self.dtype, name="fire2")(x)
+        x = _Fire(16, 64, dtype=self.dtype, name="fire3")(x); taps.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = _Fire(32, 128, name="fire4")(x)
-        x = _Fire(32, 128, name="fire5")(x); taps.append(x)
+        x = _Fire(32, 128, dtype=self.dtype, name="fire4")(x)
+        x = _Fire(32, 128, dtype=self.dtype, name="fire5")(x); taps.append(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = _Fire(48, 192, name="fire6")(x); taps.append(x)
-        x = _Fire(48, 192, name="fire7")(x); taps.append(x)
-        x = _Fire(64, 256, name="fire8")(x); taps.append(x)
-        x = _Fire(64, 256, name="fire9")(x); taps.append(x)
+        x = _Fire(48, 192, dtype=self.dtype, name="fire6")(x); taps.append(x)
+        x = _Fire(48, 192, dtype=self.dtype, name="fire7")(x); taps.append(x)
+        x = _Fire(64, 256, dtype=self.dtype, name="fire8")(x); taps.append(x)
+        x = _Fire(64, 256, dtype=self.dtype, name="fire9")(x); taps.append(x)
         return taps
 
 
@@ -143,20 +147,26 @@ def bilinear_resize(x, out_hw):
 
 
 class LPIPSModule(nn.Module):
-    """Backbone taps -> unit-norm -> squared diff -> 1x1 linear heads."""
+    """Backbone taps -> unit-norm -> squared diff -> 1x1 linear heads.
+
+    ``dtype`` sets the backbone compute precision (bfloat16 on TPU); the
+    unit-normalization, squared diff and linear heads stay float32 so the
+    distance itself keeps full precision.
+    """
     net: str = "alex"
     spatial: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, y):
         shift = jnp.asarray(_SHIFT)
         scale = jnp.asarray(_SCALE)
-        x = (x - shift) / scale
-        y = (y - shift) / scale
+        x = ((x - shift) / scale).astype(self.dtype)
+        y = ((y - shift) / scale).astype(self.dtype)
 
-        backbone = _BACKBONES[self.net](name="backbone")
-        fx = backbone(x)
-        fy = backbone(y)
+        backbone = _BACKBONES[self.net](dtype=self.dtype, name="backbone")
+        fx = [f.astype(jnp.float32) for f in backbone(x)]
+        fy = [f.astype(jnp.float32) for f in backbone(y)]
 
         out_hw = x.shape[1:3]
         total = 0.0
@@ -252,11 +262,12 @@ class LPIPS:
     """
 
     def __init__(self, net: str = "alex", params: Optional[Any] = None,
-                 pretrained_path: Optional[str] = None, spatial: bool = True):
+                 pretrained_path: Optional[str] = None, spatial: bool = True,
+                 dtype: Any = jnp.float32):
         assert net in _BACKBONES, f"unknown LPIPS net {net}"
         self.net = net
         self.spatial = spatial
-        self.module = LPIPSModule(net=net, spatial=spatial)
+        self.module = LPIPSModule(net=net, spatial=spatial, dtype=dtype)
         if params is not None:
             self.params = params
         elif pretrained_path and os.path.exists(pretrained_path):

@@ -1,0 +1,123 @@
+"""ImageNet/WordNet class lookup utilities.
+
+Counterpart of the reference's ``pix2latent/utils/imagenet_tools.py:19-148``
+(+ the static label tables in its ``dataset_misc.py``). The mappings here are
+public ImageNet metadata (wnid <-> class index <-> noun, PASCAL/COCO category
+lists) shipped as a compressed data file
+(``utils/data/imagenet_meta.json.gz``). WordNet hyponym traversal
+(``query_subclass_by_name``) needs the nltk wordnet corpus; in offline
+environments it raises with instructions instead of silently failing.
+"""
+
+from __future__ import annotations
+
+import functools
+import gzip
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+_DATA = os.path.join(os.path.dirname(__file__), "data",
+                     "imagenet_meta.json.gz")
+
+
+@functools.lru_cache(maxsize=1)
+def _meta():
+    with gzip.open(_DATA, "rt") as f:
+        return json.load(f)
+
+
+def wnid_to_label(wnid: str) -> int:
+    """'n02084071'-style wnid -> ImageNet class index."""
+    return int(_meta()["imagenet_wnid_to_label"][wnid])
+
+
+def label_to_wnid(label: int) -> str:
+    for k, v in _meta()["imagenet_wnid_to_label"].items():
+        if int(v) == int(label):
+            return k
+    raise KeyError(label)
+
+
+def label_to_noun(label: int) -> str:
+    return _meta()["imagenet_label_to_noun"][str(int(label))]
+
+
+def noun_to_labels(noun: str):
+    """Substring search over class nouns -> [(label, noun)]."""
+    noun = noun.lower()
+    return [(int(k), v) for k, v in
+            _meta()["imagenet_label_to_noun"].items()
+            if noun in v.lower()]
+
+
+def pascal_categories():
+    return list(_meta()["pascal_categories"])
+
+
+def coco_categories():
+    return list(_meta()["coco_categories"])
+
+
+def _wordnet():
+    try:
+        from nltk.corpus import wordnet as wn
+        wn.synsets("dog")  # force corpus load
+        return wn
+    except LookupError as e:
+        raise RuntimeError(
+            "nltk wordnet corpus not available (offline environment). "
+            "Download it with nltk.download('wordnet') when online; the "
+            "static wnid/label/noun mappings above work without it."
+        ) from e
+
+
+def wnid_to_synset(wnid: str):
+    """wnid -> nltk synset (reference ``imagenet_tools.py:40-55``)."""
+    wn = _wordnet()
+    return wn.synset_from_pos_and_offset(wnid[0], int(wnid[1:]))
+
+
+def synset_to_wnid(synset) -> str:
+    return f"{synset.pos()}{synset.offset():08d}"
+
+
+def query_subclass_by_name(name: str, verbose: bool = False):
+    """All ImageNet classes that are WordNet hyponyms of ``name``
+    (reference ``imagenet_tools.py:19-37``)."""
+    wn = _wordnet()
+    labels = []
+    for syn in wn.synsets(name):
+        closure = set(syn.closure(lambda s: s.hyponyms()))
+        closure.add(syn)
+        for s in closure:
+            wnid = synset_to_wnid(s)
+            if wnid in _meta()["imagenet_wnid_to_label"]:
+                lbl = wnid_to_label(wnid)
+                labels.append(lbl)
+                if verbose:
+                    print(lbl, s.name())
+    return sorted(set(labels))
+
+
+def coco_to_imagenet_labels(coco_name: str):
+    """COCO/PASCAL category name -> candidate ImageNet class indices
+    (reference ``imagenet_tools.py:125-140``): hyponym query when wordnet is
+    available, noun substring match otherwise."""
+    try:
+        labels = query_subclass_by_name(coco_name)
+        if labels:
+            return labels
+    except RuntimeError:
+        pass
+    return [lbl for lbl, _ in noun_to_labels(coco_name)]
+
+
+def to_onehot(labels, num_classes=1000):
+    """(reference ``imagenet_tools.py:143-148``)"""
+    labels = np.atleast_1d(np.asarray(labels, np.int64))
+    out = np.zeros((labels.size, num_classes), np.float32)
+    out[np.arange(labels.size), labels] = 1.0
+    return jnp.asarray(out)

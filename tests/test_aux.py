@@ -1,0 +1,209 @@
+"""Tests for auxiliary subsystems: benchmark metrics, checkpoint/resume,
+edit/GANSpace, imagenet tools, project utils, video."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pix2latent_tpu.loss_functions as LF
+from pix2latent_tpu import VariableManager
+
+
+class TestBenchmark:
+    def test_l1_l2_metrics(self, key):
+        from pix2latent_tpu.utils.benchmark import Benchmark
+        bm = Benchmark(metrics=("l1", "l2"))
+        out = jax.random.uniform(key, (3, 16, 16, 3), minval=-1, maxval=1)
+        target = out[:1]
+        mask = jnp.ones((1, 16, 16, 3))
+        res = bm.evaluate(out, target, mask)
+        assert set(res) == {"l1", "l2"}
+        assert res["l1"].shape == (3,)
+        assert res["l1"][0] < 1e-6  # first sample IS the target
+
+    def test_lpips_metric_lazy(self, key):
+        from pix2latent_tpu.utils.benchmark import Benchmark
+        bm = Benchmark(metrics=("alex",))
+        out = jax.random.uniform(key, (2, 32, 32, 3), minval=-1, maxval=1)
+        with pytest.warns(UserWarning):
+            res = bm.evaluate(out, out[:1], jnp.ones((1, 32, 32, 3)))
+        assert res["alex"].shape == (2,)
+        assert res["alex"][0] < 1e-6
+
+    def test_unknown_metric_rejected(self):
+        from pix2latent_tpu.utils.benchmark import Benchmark
+        with pytest.raises(AssertionError):
+            Benchmark(metrics=("ssim",))
+
+
+class TestCheckpoint:
+    def test_roundtrip_namedtuple_pytree(self, tmp_path):
+        from pix2latent_tpu.strategies import cma
+        from pix2latent_tpu.utils.checkpoint import (load_checkpoint,
+                                                     save_checkpoint)
+        _, state = cma.init(np.zeros(8), sigma=1.5)
+        tree = {"cma_state": state, "key": jax.random.PRNGKey(3),
+                "meta_iter": jnp.asarray(7, jnp.int32)}
+        p = str(tmp_path / "ckpt.npz")
+        save_checkpoint(p, tree)
+        like = {"cma_state": cma.init(np.zeros(8))[1],
+                "key": jax.random.PRNGKey(0),
+                "meta_iter": jnp.zeros((), jnp.int32)}
+        back = load_checkpoint(p, like)
+        assert isinstance(back["cma_state"], cma.CMAState)
+        assert float(back["cma_state"].sigma) == 1.5
+        assert int(back["meta_iter"]) == 7
+        np.testing.assert_array_equal(np.asarray(back["key"]),
+                                      np.asarray(tree["key"]))
+
+    def test_leaf_count_mismatch_raises(self, tmp_path):
+        from pix2latent_tpu.utils.checkpoint import (load_checkpoint,
+                                                     save_checkpoint)
+        p = str(tmp_path / "c.npz")
+        save_checkpoint(p, {"a": jnp.ones(3)})
+        with pytest.raises(AssertionError):
+            load_checkpoint(p, {"a": jnp.ones(3), "b": jnp.ones(2)})
+
+    def test_basincma_resume(self, tmp_path):
+        from pix2latent_tpu.models.toy import make_toy_model
+        from pix2latent_tpu.optimizers import BasinCMAOptimizer
+        model = make_toy_model(z_dim=4, res=16, width=8, seed=0)
+        target = model(z=jnp.ones((1, 4)))[0]
+
+        def build():
+            vm = VariableManager(seed=0)
+            vm.register("z", shape=(4,), var_type="input", grad_free=True)
+            vm.register("target", shape=(16, 16, 3), var_type="output",
+                        requires_grad=False, default=target)
+            lf = lambda out, target: LF.l1_loss(out, target)
+            return BasinCMAOptimizer(model, vm, lf)
+
+        ckpt = str(tmp_path / "run.npz")
+        opt1 = build()
+        opt1.optimize(meta_steps=3, grad_steps=2, last_grad_steps=2,
+                      checkpoint_path=ckpt)
+        assert os.path.exists(ckpt)
+        sigma_after = float(opt1.cma_state.sigma)
+
+        # resume: generations 0..2 already done -> starts at 3 directly
+        opt2 = build()
+        opt2.optimize(meta_steps=3, grad_steps=2, last_grad_steps=2,
+                      checkpoint_path=ckpt)
+        # resumed run starts from the checkpointed strategy state
+        assert abs(float(opt2.cma_state.sigma) - sigma_after) < 1e-6
+
+
+class TestGANSpace:
+    def test_pca_lowrank_matches_svd(self, key):
+        from pix2latent_tpu.edit.ganspace import pca_lowrank
+        # decaying spectrum (like real feature matrices; white noise is the
+        # provably-hard case for any randomized range finder)
+        base = jax.random.normal(key, (200, 50))
+        scales = jnp.asarray(np.geomspace(10.0, 0.5, 50), jnp.float32)
+        a = base * scales[None, :]
+        s, v = pca_lowrank(a, q=5, key=jax.random.PRNGKey(1))
+        a0 = a - a.mean(0, keepdims=True)
+        _, s_full, vt_full = jnp.linalg.svd(a0, full_matrices=False)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_full[:5]),
+                                   rtol=1e-2)
+        # directions match up to sign
+        dots = jnp.abs(jnp.sum(v * vt_full[:5].T, axis=0))
+        assert float(jnp.min(dots)) > 0.95
+
+    def test_biggan_components_shapes(self):
+        from pix2latent_tpu.edit.ganspace import biggan_components
+        from pix2latent_tpu.models.biggan import BigGAN
+        with pytest.warns(UserWarning):
+            model = BigGAN("biggan-deep-128")
+        u = biggan_components(model, 3, num_components=4, num_samples=512)
+        assert u.shape == (4, 128)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(u, axis=1)), 1.0, atol=1e-4)
+
+
+class TestEditor:
+    def test_load_edit_flow(self, tmp_path):
+        from pix2latent_tpu.edit.editor import BigGANLatentEditor
+        from pix2latent_tpu.models.biggan import BigGAN
+        from pix2latent_tpu.variables import save_variables
+        with pytest.warns(UserWarning):
+            model = BigGAN("biggan-deep-128")
+
+        variables = {"input": {
+            "z": np.random.RandomState(0).randn(3, 128).astype(np.float32),
+            "c": np.zeros((3, 128), np.float32)}}
+        loss = np.asarray([0.5, 0.1, 0.9])
+        p = str(tmp_path / "vars.npy")
+        save_variables(p, variables, extras={"loss": loss})
+
+        ed = BigGANLatentEditor(model).load_result(p)
+        assert ed._idx == 1
+        out = ed.default()
+        assert out.shape == (128, 128, 3)
+        out2 = ed.edit_class(5, alpha=0.5)
+        assert out2.shape == (128, 128, 3)
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+class TestImagenetTools:
+    def test_static_mappings(self):
+        from pix2latent_tpu.utils import imagenet_tools as it
+        # 153 is a dog class in the examples (invert_biggan_adam.py:24)
+        wnid = it.label_to_wnid(153)
+        assert it.wnid_to_label(wnid) == 153
+        noun = it.label_to_noun(153)
+        assert isinstance(noun, str) and len(noun) > 0
+        assert len(it.pascal_categories()) == 21
+        assert "person" in it.coco_categories()
+
+    def test_noun_search(self):
+        from pix2latent_tpu.utils import imagenet_tools as it
+        hits = it.noun_to_labels("terrier")
+        assert len(hits) > 5
+        assert all(isinstance(l, int) for l, _ in hits)
+
+    def test_onehot(self):
+        from pix2latent_tpu.utils import imagenet_tools as it
+        oh = it.to_onehot([3, 7])
+        assert oh.shape == (2, 1000)
+        assert float(oh[0, 3]) == 1.0 and float(oh[1, 7]) == 1.0
+
+    def test_wordnet_gated(self):
+        from pix2latent_tpu.utils import imagenet_tools as it
+        try:
+            labels = it.query_subclass_by_name("dog")
+            assert 153 in labels  # wordnet available
+        except RuntimeError as e:
+            assert "wordnet" in str(e).lower()
+
+    def test_coco_fallback_without_wordnet(self):
+        from pix2latent_tpu.utils import imagenet_tools as it
+        labels = it.coco_to_imagenet_labels("terrier")
+        assert len(labels) > 0
+
+
+class TestProjectUtils:
+    def test_save_result_bundle(self, tmp_path, key):
+        from pix2latent_tpu.utils.project_utils import save_result
+        variables = {"input": {"z": np.zeros((2, 4), np.float32)}}
+        outs = [np.zeros((16, 16, 3), np.uint8)]
+        losses = [[10, {"loss": np.asarray([0.3, 0.1])}]]
+        imgs = np.asarray(
+            jax.random.uniform(key, (2, 16, 16, 3), minval=-1, maxval=1))
+        d = save_result(str(tmp_path / "run"), variables, outs, losses,
+                        out_images=imgs)
+        for f in ("vars.npy", "losses.npy", "out.jpg", "best.jpg"):
+            assert os.path.exists(os.path.join(d, f)), f
+
+
+class TestVideo:
+    def test_gif_roundtrip(self, tmp_path, key):
+        from pix2latent_tpu.utils import video
+        frames = [np.asarray(jax.random.uniform(
+            jax.random.fold_in(key, i), (16, 16, 3), minval=-1, maxval=1))
+            for i in range(3)]
+        p = video.make_gif(str(tmp_path / "t.gif"), frames)
+        assert os.path.exists(p) and os.path.getsize(p) > 0
