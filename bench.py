@@ -38,8 +38,13 @@ PYTORCH_V100_BASELINE_IMAGES_PER_SEC = 30.0
 # bfloat16 generator/LPIPS compute (variables, Adam state and loss pooling
 # stay float32): measured 205 img/s vs 122 img/s at f32 on TPU v5e with
 # finite, converging losses. Override with PIX2LATENT_BENCH_DTYPE=float32.
-BENCH_DTYPE = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
-    os.environ.get("PIX2LATENT_BENCH_DTYPE", "bfloat16")]
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+_DTYPE_NAME = os.environ.get("PIX2LATENT_BENCH_DTYPE", "bfloat16")
+if _DTYPE_NAME not in _DTYPES:
+    raise SystemExit(
+        f"PIX2LATENT_BENCH_DTYPE={_DTYPE_NAME!r} — must be one of "
+        f"{sorted(_DTYPES)}")
+BENCH_DTYPE = _DTYPES[_DTYPE_NAME]
 
 POP = 18            # reference CMA popsize for d=128
 GRAD_STEPS = 30     # reference inner-loop budget per generation
@@ -74,27 +79,31 @@ def main():
         vm.register("weight", shape=(256, 256, 3), var_type="output",
                     requires_grad=False, default=weight)
 
-        def run_generation(opt):
-            variables = opt.cma_init(vm)
-            opt_state = opt.core.init_opt_state(variables)
-            variables, opt_state, out, ys = opt.core.grad_steps(
-                variables, opt_state, opt.next_key(), GRAD_STEPS)
-            loss = opt.cma_update(variables, inverted_loss=True)
-            return ys["loss"], loss
-
         opt = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
         opt.setup_cma(vm)
         assert opt.num_samples == POP, opt.num_samples
 
-        # warmup: compile ask/scan/tell
-        for _ in range(WARMUP_GENS):
-            ys_loss, tell_loss = run_generation(opt)
-        jax.block_until_ready(tell_loss)
+        # fused generation: ask + 30 scanned fwd/bwd/Adam steps + inverted
+        # tell + CMA update in ONE XLA dispatch (optimize_fused machinery)
+        gen_fn = opt._fused_gens.setdefault(
+            GRAD_STEPS, opt._build_fused_generation(GRAD_STEPS)) \
+            if hasattr(opt, "_fused_gens") else None
+        if gen_fn is None:
+            opt._fused_gens = {GRAD_STEPS:
+                               opt._build_fused_generation(GRAD_STEPS)}
+            gen_fn = opt._fused_gens[GRAD_STEPS]
+
+        state = opt.cma_state
+        for i in range(WARMUP_GENS):
+            state, gen_min = gen_fn(model.params, state, opt.next_key(),
+                                    jnp.asarray(i, jnp.int32))
+        jax.block_until_ready(gen_min)
 
         t0 = time.time()
-        for _ in range(TIMED_GENS):
-            ys_loss, tell_loss = run_generation(opt)
-        jax.block_until_ready(tell_loss)
+        for i in range(TIMED_GENS):
+            state, gen_min = gen_fn(model.params, state, opt.next_key(),
+                                    jnp.asarray(i, jnp.int32))
+        jax.block_until_ready(gen_min)
         dt = time.time() - t0
 
     steps = TIMED_GENS * GRAD_STEPS

@@ -137,7 +137,7 @@ class ExecutionCore:
                 return variables, opt_state, out, ys
             return jax.jit(scan_fn)
 
-        if kind == "tell_loss":
+        if kind in ("tell_loss", "tell_loss_raw"):
             # CMA tell loss: a fresh forward of the post-inner-loop variables
             # (the reference re-evaluates inside cma_update when loss=None,
             # ``base_cma_optimizer.py:113-114``); with a registered transform,
@@ -166,7 +166,9 @@ class ExecutionCore:
                 loss_map = self.loss_fn(out_inv, target=target, **kwargs)
                 pop = out.shape[0]
                 return loss_map.reshape(pop, -1).mean(axis=1)
-            return jax.jit(tell_fn)
+            # _raw: the untransformed function, for tracing inside larger
+            # fused programs (e.g. BasinCMA's one-dispatch generation)
+            return tell_fn if kind == "tell_loss_raw" else jax.jit(tell_fn)
 
         raise ValueError(kind)
 

@@ -203,10 +203,18 @@ class GenBlock(nn.Module):
 
 class BigGANDeepGenerator(nn.Module):
     """The generator: cond = concat(z, class_embedding) feeds gen_z and every
-    conditional BN; blocks per BIGGAN_CONFIGS; 3-channel tanh output."""
+    conditional BN; blocks per BIGGAN_CONFIGS; 3-channel tanh output.
+
+    ``remat=True`` checkpoints each residual block: the backward pass
+    recomputes block activations instead of spilling them to HBM — a win on
+    TPU where this inversion workload is HBM-bandwidth-bound (~75% of v5e
+    bandwidth at fp32) with ~5x MXU FLOP headroom.
+    """
     model_version: str = "biggan-deep-256"
     channel_width: int = CHANNEL_WIDTH
     dtype: Any = jnp.float32
+    remat: bool = False
+    remat_from_res: int = 0   # also remat blocks at/above this resolution
 
     @nn.compact
     def __call__(self, z, c, truncation=1.0):
@@ -220,13 +228,19 @@ class BigGANDeepGenerator(nn.Module):
         h = h.reshape(-1, 16 * ch, 4, 4).transpose(0, 2, 3, 1)
 
         attn_pos = cfg["attention_position"]
+        res = 4
         for i, (up, in_mult, out_mult) in enumerate(cfg["layers"]):
             if i == attn_pos:
                 h = SelfAttn(h.shape[-1], dtype=self.dtype,
                              name=f"attn_{i}")(h)
-            h = GenBlock(in_mult * ch, out_mult * ch, up_sample=up,
-                         dtype=self.dtype, name=f"block_{i}")(
-                             h, truncation, cond)
+            if up:
+                res *= 2
+            use_remat = self.remat or (self.remat_from_res and
+                                       res >= self.remat_from_res)
+            block_cls = nn.remat(GenBlock) if use_remat else GenBlock
+            h = block_cls(in_mult * ch, out_mult * ch, up_sample=up,
+                          dtype=self.dtype, name=f"block_{i}")(
+                              h, truncation, cond)
 
         h = StandingBatchNorm(h.shape[-1], conditional=False,
                               dtype=self.dtype, name="bn_out")(h, truncation)
@@ -258,10 +272,13 @@ class BigGAN(FlaxModel):
 
     def __init__(self, model_version: str = "biggan-deep-256", params=None,
                  pretrained_path: Optional[str] = None,
-                 dtype: Any = jnp.float32, seed: int = 0):
+                 dtype: Any = jnp.float32, seed: int = 0,
+                 remat: bool = False, remat_from_res: int = 0):
         assert model_version in BIGGAN_CONFIGS, model_version
         self.model_version = model_version
-        module = BigGANDeepGenerator(model_version=model_version, dtype=dtype)
+        module = BigGANDeepGenerator(model_version=model_version, dtype=dtype,
+                                     remat=remat,
+                                     remat_from_res=remat_from_res)
         embed_module = ClassEmbeddings()
 
         if params is not None:

@@ -179,3 +179,29 @@ class TestShardedPopulation:
         # popsize padded to a multiple of 8 (default for d=8 is 10 -> 16)
         assert opt.num_samples % 8 == 0
         assert losses[-1][1]["loss"].shape == (opt.num_samples,)
+
+
+class TestFusedBasinCMA:
+    def test_fused_matches_standard_quality(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
+        variables, outs, losses = opt.optimize_fused(
+            meta_steps=6, grad_steps=10, last_grad_steps=30)
+        final = np.asarray(losses[-1][1]["loss"])
+        assert final.min() < 0.05
+        # one compiled generation per grad_steps value, reused across calls
+        assert list(opt._fused_gens) == [10]
+        variables2, _, losses2 = opt.optimize_fused(
+            meta_steps=2, grad_steps=10, last_grad_steps=10)
+        assert list(opt._fused_gens) == [10]
+
+    def test_fused_returns_reference_convention(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
+        variables, outs, losses = opt.optimize_fused(
+            meta_steps=1, grad_steps=2, last_grad_steps=2)
+        assert "input" in variables and "z" in variables["input"]
+        assert outs[0].ndim == 3
+        assert losses[-1][0] == 1 * 2 + 2
