@@ -1,0 +1,85 @@
+"""Secondary benchmark: StyleGAN2-cars (512x512) BasinCMA throughput.
+
+Same shape as the flagship bench but on the second model family
+(BASELINE.md: LSUN-Cars 512^2, popsize 22 for d=512). Prints ONE JSON line.
+The driver-facing headline benchmark remains ``bench.py``.
+"""
+
+import json
+import os
+import time
+import warnings
+
+import jax
+import jax.numpy as jnp
+
+from pix2latent_tpu.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+POP = 22          # reference popsize for d=512 (README.md:74)
+GRAD_STEPS = 30
+TIMED_GENS = 2
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+BENCH_DTYPE = _DTYPES[os.environ.get("PIX2LATENT_BENCH_DTYPE", "bfloat16")]
+
+
+def main():
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pix2latent_tpu.loss_functions as LF
+        from pix2latent_tpu import VariableManager, hooks
+        from pix2latent_tpu.models.stylegan2 import StyleGAN2
+        from pix2latent_tpu.optimizers import BasinCMAOptimizer
+
+        model = StyleGAN2("cars", search="z", dtype=BENCH_DTYPE)
+        loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=10.0,
+                                    dtype=BENCH_DTYPE)
+        im = model.im_res
+
+        vm = VariableManager(seed=0)
+        vm.register("z", shape=(512,), var_type="input", grad_free=True,
+                    learning_rate=0.05,
+                    hook_fn=hooks.Compose(hooks.Normalize(),
+                                          hooks.NormalPerturb(0.05)))
+        vm.register("target", shape=(im, im, 3), var_type="output",
+                    requires_grad=False, default=jnp.zeros((im, im, 3)))
+        vm.register("weight", shape=(im, im, 3), var_type="output",
+                    requires_grad=False, default=jnp.ones((im, im, 3)))
+
+        opt = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
+        opt.setup_cma(vm)
+        assert opt.num_samples == POP, opt.num_samples
+
+        opt._fused_gens = {GRAD_STEPS:
+                           opt._build_fused_generation(GRAD_STEPS)}
+        gen_fn = opt._fused_gens[GRAD_STEPS]
+
+        state = opt.cma_state
+        state, gen_min = gen_fn(model.params, state, opt.next_key(),
+                                jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(gen_min)
+
+        t0 = time.time()
+        for i in range(TIMED_GENS):
+            state, gen_min = gen_fn(model.params, state, opt.next_key(),
+                                    jnp.asarray(i + 1, jnp.int32))
+        jax.block_until_ready(gen_min)
+        dt = time.time() - t0
+
+    steps_per_sec = TIMED_GENS * GRAD_STEPS / dt
+    print(json.dumps({
+        "metric": "StyleGAN2-cars-512 BasinCMA images/sec/chip",
+        "value": round(steps_per_sec * POP, 2),
+        "unit": "images/sec",
+        "vs_baseline": None,
+        "detail": {"steps_per_sec": round(steps_per_sec, 3),
+                   "population": POP,
+                   "compute_dtype": str(BENCH_DTYPE.__name__),
+                   "backend": jax.default_backend()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,7 @@ class EqualLinear(nn.Module):
     use_bias: bool = True
     bias_init: float = 0.0
     activation: bool = False   # fused leaky relu
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -74,12 +75,12 @@ class EqualLinear(nn.Module):
             lambda k, s: jax.random.normal(k, s) / self.lr_mul,
             (in_dim, self.features))
         scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
-        out = x @ (weight * scale)
+        out = x.astype(self.dtype) @ (weight * scale).astype(self.dtype)
         bias = None
         if self.use_bias:
-            bias = self.param(
+            bias = (self.param(
                 "bias", nn.initializers.constant(self.bias_init),
-                (self.features,)) * self.lr_mul
+                (self.features,)) * self.lr_mul).astype(self.dtype)
         if self.activation:
             return fused_leaky_relu(out, bias)
         return out if bias is None else out + bias
@@ -95,6 +96,7 @@ class ModulatedConv(nn.Module):
     kernel_size: int = 3
     demodulate: bool = True
     up: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, style):
@@ -105,10 +107,11 @@ class ModulatedConv(nn.Module):
         scale = 1.0 / math.sqrt(in_ch * k * k)
         # style head: EqualLinear(512 -> in_ch) with bias initialized to 1
         # (rosinality's bias_init=1 convention; converted biases drop in)
-        s = EqualLinear(in_ch, bias_init=1.0, name="modulation")(style)
+        s = EqualLinear(in_ch, bias_init=1.0, dtype=self.dtype,
+                        name="modulation")(style)
 
-        w = weight * scale                                   # [k,k,i,o]
-        x_mod = x * s[:, None, None, :]
+        w = (weight * scale).astype(self.dtype)              # [k,k,i,o]
+        x_mod = x.astype(self.dtype) * s[:, None, None, :]
 
         if self.up:
             # conv_transpose(stride 2, VALID) == dilated conv with flipped,
@@ -132,10 +135,12 @@ class ModulatedConv(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         if self.demodulate:
-            # d[n,o] = rsqrt( sum_{k,k,i} (w_kkio * s_ni)^2 + eps )
-            w2 = jnp.sum(w ** 2, axis=(0, 1))                # [i,o]
-            d = jax.lax.rsqrt((s ** 2) @ w2 + 1e-8)          # [n,o]
-            y = y * d[:, None, None, :]
+            # d[n,o] = rsqrt( sum_{k,k,i} (w_kkio * s_ni)^2 + eps ) — f32
+            w32 = w.astype(jnp.float32)
+            s32 = s.astype(jnp.float32)
+            w2 = jnp.sum(w32 ** 2, axis=(0, 1))              # [i,o]
+            d = jax.lax.rsqrt((s32 ** 2) @ w2 + 1e-8)        # [n,o]
+            y = y * d[:, None, None, :].astype(y.dtype)
         return y
 
 
@@ -150,11 +155,12 @@ class StyledConv(nn.Module):
     out_ch: int
     kernel_size: int = 3
     up: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, style, noise):
         y = ModulatedConv(self.out_ch, self.kernel_size, up=self.up,
-                          name="conv")(x, style)
+                          dtype=self.dtype, name="conv")(x, style)
         y = NoiseInjection(name="noise")(y, noise)
         bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
         return fused_leaky_relu(y, bias)
@@ -162,12 +168,15 @@ class StyledConv(nn.Module):
 
 class ToRGB(nn.Module):
     upsample: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, style, skip=None):
-        y = ModulatedConv(3, 1, demodulate=False, name="conv")(x, style)
+        y = ModulatedConv(3, 1, demodulate=False, dtype=self.dtype,
+                          name="conv")(x, style)
         bias = self.param("bias", nn.initializers.zeros, (3,))
-        y = y + bias
+        # RGB accumulation in f32 (skip-sum across all resolutions)
+        y = y.astype(jnp.float32) + bias
         if skip is not None:
             if self.upsample:
                 skip = Upsample(BLUR_KERNEL)(skip)
@@ -183,6 +192,7 @@ class StyleGAN2Generator(nn.Module):
     style_dim: int = 512
     n_mlp: int = 8
     channel_multiplier: int = 2
+    dtype: Any = jnp.float32
 
     @property
     def log_size(self):
@@ -207,22 +217,23 @@ class StyleGAN2Generator(nn.Module):
         cm = self.channel_multiplier
         self.style_mlp = [
             EqualLinear(self.style_dim, lr_mul=0.01, activation=True,
-                        name=f"style_{i}") for i in range(self.n_mlp)]
+                        dtype=self.dtype, name=f"style_{i}")
+            for i in range(self.n_mlp)]
         self.noise_buffers = [
             self.param(f"noise_{i}", nn.initializers.normal(1.0), shape)
             for i, shape in enumerate(self.noise_shapes())]
         self.const_input = self.param(
             "input", nn.initializers.normal(1.0),
             (1, 4, 4, channels_for(4, cm)))
-        self.conv1 = StyledConv(channels_for(4, cm), name="conv1")
-        self.to_rgb1 = ToRGB(upsample=False, name="to_rgb1")
+        self.conv1 = StyledConv(channels_for(4, cm), dtype=self.dtype, name="conv1")
+        self.to_rgb1 = ToRGB(upsample=False, dtype=self.dtype, name="to_rgb1")
         convs, to_rgbs = [], []
         for li in range(self.log_size - 2):
             res = 2 ** (li + 3)
             ch = channels_for(res, cm)
-            convs.append(StyledConv(ch, up=True, name=f"convs_{2 * li}"))
-            convs.append(StyledConv(ch, name=f"convs_{2 * li + 1}"))
-            to_rgbs.append(ToRGB(name=f"to_rgbs_{li}"))
+            convs.append(StyledConv(ch, up=True, dtype=self.dtype, name=f"convs_{2 * li}"))
+            convs.append(StyledConv(ch, dtype=self.dtype, name=f"convs_{2 * li + 1}"))
+            to_rgbs.append(ToRGB(dtype=self.dtype, name=f"to_rgbs_{li}"))
         self.convs = convs
         self.to_rgbs = to_rgbs
 
@@ -266,13 +277,14 @@ class StyleGAN2(FlaxModel):
 
     def __init__(self, model: str = "cars", search: str = "z", params=None,
                  pretrained_path: Optional[str] = None, seed: int = 0,
-                 channel_multiplier: int = 2):
+                 channel_multiplier: int = 2, dtype: Any = jnp.float32):
         assert model in self.MODELS, model
         assert search in ("z", "w+"), search
         self.im_res = self.MODELS[model]
         self.search = search
         module = StyleGAN2Generator(im_res=self.im_res,
-                                    channel_multiplier=channel_multiplier)
+                                    channel_multiplier=channel_multiplier,
+                                    dtype=dtype)
 
         if params is None and pretrained_path:
             import torch

@@ -14,6 +14,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from pix2latent_tpu.ops.affine_matmul import (affine_warp_matmul_t,
+                                              inverse_affine_warp_matmul_t)
 from pix2latent_tpu.ops.grid_sample import affine_grid, grid_sample
 from pix2latent_tpu.transform.base import TransformTemplate
 from pix2latent_tpu.transform.utils import compute_pre_alignment
@@ -22,7 +24,7 @@ from pix2latent_tpu.transform.utils import compute_pre_alignment
 class SpatialTransform(TransformTemplate):
 
     def __init__(self, t=(1.0, 0.0, 0.0), identity_t=(1.0, 0.0, 0.0),
-                 pre_align=None, sensitivity=0.1):
+                 pre_align=None, sensitivity=0.1, use_matmul_warp=True):
         """Args match the reference (``spatial_transform.py:19-47``):
 
         t: default transformation parameter (the search center).
@@ -30,10 +32,16 @@ class SpatialTransform(TransformTemplate):
         pre_align: optional mask image — computes the initial alignment
             against the BigGAN object prior.
         sensitivity: scales the searched delta: ``t_eff = t + sensitivity*Δt``.
+        use_matmul_warp: run the warp as two MXU matmuls
+            (``ops.affine_matmul`` — no gathers; possible because this
+            transform is axis-aligned) instead of the general gather-based
+            grid_sample. Both match torch semantics; matmul is the TPU fast
+            path.
         """
         self.identity_t = np.asarray(identity_t, np.float32)
         self.is_spatial = True
         self.sensitivity = float(sensitivity)
+        self.use_matmul_warp = bool(use_matmul_warp)
 
         self.t = np.asarray(t, np.float32)
         if pre_align is not None:
@@ -69,6 +77,8 @@ class SpatialTransform(TransformTemplate):
 
         ims: [N, H, W, C]; t: [N, 3].
         """
+        if self.use_matmul_warp:
+            return affine_warp_matmul_t(ims, t)
         theta = self._theta(t[:, 0], t[:, 1:])
         return grid_sample(ims, affine_grid(theta, ims.shape[1:3]))
 
@@ -78,6 +88,8 @@ class SpatialTransform(TransformTemplate):
         >>> t_ims = transform(ims, t)
         >>> ims_hat = invert_transform(t_ims, t)   # ims_hat ≈ ims
         """
+        if self.use_matmul_warp:
+            return inverse_affine_warp_matmul_t(ims, t)
         inv_s = 1.0 / t[:, 0]
         inv_trans = -(t[:, 1:] / t[:, :1])
         theta = self._theta(inv_s, inv_trans)

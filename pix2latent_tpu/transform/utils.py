@@ -63,3 +63,51 @@ def compute_pre_alignment(weight):
     dst_center, dst_size = get_biggan_stats()
     src_center, src_size = compute_stat_from_mask(binarize(weight))
     return convert_to_t(src_center, src_size, dst_center, dst_size)
+
+
+def setup_transform_fn(args=None, weight=None, spatial_transform=False,
+                       align=False, color_transform=(), sensitivity=0.1):
+    """Build a ComposeTransform + initial parameter vector from flags.
+
+    Working version of the reference's stale ``setup_transform_fn``
+    (``transform_utils.py:15-50`` referenced symbols that no longer existed).
+    Accepts either an argparse-style namespace (``args.spatial_transform``,
+    ``args.align``, ``args.color_transform``) or explicit kwargs.
+
+    Returns ``(transform_fn, t)`` — None, None when nothing is enabled.
+    Color weights follow the reference's scale-compensation factor of 5.
+    """
+    from pix2latent_tpu.transform.color import (BrightnessTransform,
+                                                ContrastTransform,
+                                                GammaTransform, HueTransform,
+                                                SaturationTransform)
+    from pix2latent_tpu.transform.compose import ComposeTransform
+    from pix2latent_tpu.transform.spatial import SpatialTransform
+
+    if args is not None:
+        spatial_transform = getattr(args, "spatial_transform",
+                                    spatial_transform)
+        align = getattr(args, "align", align)
+        color_transform = getattr(args, "color_transform", color_transform)
+
+    transform_list = []
+    if spatial_transform or align:
+        pre = weight if (align and weight is not None) else None
+        transform_list.append(
+            (SpatialTransform(pre_align=pre, sensitivity=sensitivity), 1.0))
+
+    color_classes = {
+        "hue": HueTransform, "gamma": GammaTransform,
+        "saturation": SaturationTransform, "brightness": BrightnessTransform,
+        "contrast": ContrastTransform,
+    }
+    # ordered by information preservability, as the reference documents
+    for name in ("hue", "gamma", "saturation", "brightness", "contrast"):
+        if name in color_transform:
+            transform_list.append((color_classes[name](), 5.0))
+
+    if not transform_list:
+        return None, None
+    fn = ComposeTransform(transform_list)
+    t = fn.get_param(as_tensor=True)[None]
+    return fn, t

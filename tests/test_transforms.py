@@ -281,3 +281,74 @@ class TestTransformBasinCMA:
         opt.set_variable_propagation("nope")
         with pytest.raises(RuntimeError):
             opt.optimize(meta_steps=2, grad_steps=1)
+
+
+class TestAffineMatmulWarp:
+    """The MXU-matmul reformulation must match the gather grid_sample
+    exactly for axis-aligned affine warps."""
+
+    @pytest.mark.parametrize("t_row", [
+        [1.0, 0.0, 0.0],     # identity
+        [0.8, 0.2, -0.3],    # zoom-in + shift
+        [1.4, -0.5, 0.1],    # zoom-out + shift (exercises zero padding)
+    ])
+    def test_matches_gather_grid_sample(self, key, t_row):
+        from pix2latent_tpu.ops.affine_matmul import affine_warp_matmul_t
+        from pix2latent_tpu.ops.grid_sample import affine_grid, grid_sample
+        im = jax.random.normal(key, (2, 24, 20, 3))
+        t = jnp.asarray([t_row, [1.1, 0.05, 0.4]])
+        theta = jnp.zeros((2, 2, 3))
+        theta = theta.at[:, 0, 0].set(t[:, 0]).at[:, 1, 1].set(t[:, 0])
+        theta = theta.at[:, :, 2].set(t[:, 1:])
+        want = grid_sample(im, affine_grid(theta, (24, 20)))
+        got = affine_warp_matmul_t(im, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_spatial_transform_both_paths_agree(self, key):
+        im = jax.random.normal(key, (2, 16, 16, 3))
+        t = jnp.asarray([[0.9, 0.1, -0.2], [1.2, 0.0, 0.3]])
+        fast = SpatialTransform(sensitivity=1.0, use_matmul_warp=True)
+        ref = SpatialTransform(sensitivity=1.0, use_matmul_warp=False)
+        np.testing.assert_allclose(
+            np.asarray(fast.transform(im, t)),
+            np.asarray(ref.transform(im, t)), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(fast.invert_transform(im, t)),
+            np.asarray(ref.invert_transform(im, t)), atol=1e-5)
+
+    def test_differentiable_wrt_t(self, key):
+        from pix2latent_tpu.ops.affine_matmul import affine_warp_matmul_t
+        im = jax.random.normal(key, (1, 16, 16, 3))
+
+        def f(t):
+            return jnp.sum(affine_warp_matmul_t(im, t) ** 2)
+
+        g = jax.grad(f)(jnp.asarray([[1.1, 0.1, -0.1]]))
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+
+class TestSetupTransformFn:
+    def test_spatial_plus_colors(self):
+        from pix2latent_tpu.transform.utils import setup_transform_fn
+        fn, t = setup_transform_fn(spatial_transform=True,
+                                   color_transform=("brightness", "hue"))
+        assert fn is not None
+        assert t.shape == (1, 5)  # 3 spatial + 1 hue + 1 brightness
+        im = jnp.zeros((2, 8, 8, 3))
+        out = fn(im, jnp.broadcast_to(t, (2, 5)))
+        assert out.shape == im.shape
+
+    def test_nothing_enabled(self):
+        from pix2latent_tpu.transform.utils import setup_transform_fn
+        fn, t = setup_transform_fn()
+        assert fn is None and t is None
+
+    def test_align_uses_mask(self):
+        from pix2latent_tpu.transform.utils import setup_transform_fn
+        mask = np.zeros((32, 32, 3), np.float32)
+        mask[8:24, 8:24] = 1.0
+        fn, t = setup_transform_fn(align=True, weight=jnp.asarray(mask))
+        assert t.shape == (1, 3)
+        assert float(t[0, 0]) > 0  # positive scale from pre-alignment
