@@ -56,16 +56,39 @@ def upfirdn2d(x, kernel, up=1, down=1, pad=(0, 0)):
 
 
 class Blur:
-    """FIR blur with optional upsample-gain (rosinality ``Blur``)."""
+    """FIR blur with optional upsample-gain (rosinality ``Blur``).
 
-    def __init__(self, kernel=(1, 3, 3, 1), pad=(0, 0), upsample_factor=1):
+    ``use_pallas=True`` routes separable kernels to the Pallas plane kernel
+    (``ops.pallas_fir``): measured 1.2x faster than the XLA depthwise conv
+    *standalone* at StyleGAN2 shapes and exact f32 (the conv truncates to
+    bf16 on the MXU) — but **slower inside the full generator graph** (the
+    NHWC->plane transposes break XLA's fusion of the blur with neighboring
+    ops; 226 -> 156 img/s on the cars-512 bench). Default off; useful when
+    the blur runs standalone or when exact-precision FIR matters.
+    """
+
+    def __init__(self, kernel=(1, 3, 3, 1), pad=(0, 0), upsample_factor=1,
+                 use_pallas=False):
         k = make_kernel(kernel)
         if upsample_factor > 1:
             k = k * (upsample_factor ** 2)
         self.kernel = k
         self.pad = pad
+        self._taps = None
+        # Blur may be constructed inside a traced module call, so derive the
+        # separable taps from the raw Python kernel (host numpy), never from
+        # the (possibly traced) 2-D kernel.
+        k_np = np.asarray(kernel, np.float64)
+        if use_pallas and k_np.ndim == 1:
+            gain = float(upsample_factor ** 2)
+            self._taps = (k_np / k_np.sum()) * np.sqrt(gain)
 
     def __call__(self, x):
+        # pallas path pays off on large planes; tiny ones stay fused in XLA
+        if (self._taps is not None and jax.default_backend() == "tpu"
+                and x.shape[1] * x.shape[2] >= 128 * 128):
+            from pix2latent_tpu.ops.pallas_fir import fir_blur_pallas
+            return fir_blur_pallas(x, self._taps, self.pad)
         return upfirdn2d(x, self.kernel, pad=self.pad)
 
 
