@@ -38,12 +38,20 @@ class ExecutionCore:
     """Builds and caches the jitted step programs for one inversion problem."""
 
     def __init__(self, model, var_manager: VariableManager, loss_fn: Callable,
-                 mesh=None, track_variables: bool = False):
+                 mesh=None, track_variables: bool = False,
+                 max_batch_size: Optional[int] = None):
         self.model = as_model(model)
         self.var_manager = var_manager
         self.loss_fn = loss_fn
         self.mesh = mesh
         self.track_variables = track_variables
+        # population microbatching: when set, forward/backward runs as a
+        # sequential lax.map over chunks of <= max_batch_size samples —
+        # bounding peak activation memory exactly like the reference's
+        # split_vars chunking (variable_manager.py:16-46), but inside the
+        # compiled program. Needed for e.g. FFHQ-1024 x pop-22 on one chip
+        # (the 1024^2 x 32ch tensors lane-pad 4x on TPU).
+        self.max_batch_size = max_batch_size
         self.optimizer = var_manager.make_optimizer()
         # transform registry: dst var name -> dict(fn, param name)
         self.transform_fns: Dict[str, dict] = {}
@@ -90,6 +98,61 @@ class ExecutionCore:
         per_sample = loss_map.reshape(pop, -1).mean(axis=1)
         return per_sample.mean(), (per_sample, out)
 
+    def _n_chunks(self, variables) -> int:
+        """Number of sequential microbatches for the current population."""
+        if not self.max_batch_size:
+            return 1
+        pop = jax.tree.leaves(variables)[0].shape[0]
+        if pop <= self.max_batch_size:
+            return 1
+        n = -(-pop // self.max_batch_size)
+        while pop % n:
+            n += 1
+        return n
+
+    def _value_and_grad(self, params, variables):
+        """(per_sample, out), grads — chunked over the population when
+        max_batch_size demands it (lax.map runs chunks sequentially, so peak
+        activation memory is one chunk's forward+backward)."""
+        grad_fn = jax.value_and_grad(self._forward_loss, argnums=1,
+                                     has_aux=True)
+        n = self._n_chunks(variables)
+        if n == 1:
+            (_, (per_sample, out)), grads = grad_fn(params, variables)
+            return per_sample, out, grads
+
+        pop = jax.tree.leaves(variables)[0].shape[0]
+        chunked = jax.tree.map(
+            lambda a: a.reshape(n, a.shape[0] // n, *a.shape[1:]), variables)
+        # each chunk's loss is a mean over chunk_size samples; rescale grads
+        # so the result equals the whole-population mean's gradient exactly
+        scale = (pop // n) / pop
+
+        def one(chunk_vars):
+            (_, (ps, o)), g = grad_fn(params, chunk_vars)
+            return ps, o, jax.tree.map(lambda x: x * scale, g)
+
+        ps, out, grads = jax.lax.map(one, chunked)
+        unchunk = lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
+        return (unchunk(ps), unchunk(out), jax.tree.map(unchunk, grads))
+
+    def _eval_chunked(self, params, variables):
+        """(per_sample, out) without gradients, chunked like above."""
+        n = self._n_chunks(variables)
+        if n == 1:
+            _, (per_sample, out) = self._forward_loss(params, variables)
+            return per_sample, out
+        chunked = jax.tree.map(
+            lambda a: a.reshape(n, a.shape[0] // n, *a.shape[1:]), variables)
+
+        def one(chunk_vars):
+            _, (ps, o) = self._forward_loss(params, chunk_vars)
+            return ps, o
+
+        ps, out = jax.lax.map(one, chunked)
+        unchunk = lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
+        return unchunk(ps), unchunk(out)
+
     def _get(self, kind, **static):
         key = (kind, tuple(sorted(static.items())))
         if key not in self._compiled:
@@ -102,7 +165,7 @@ class ExecutionCore:
         if kind == "eval":
             def eval_fn(params, variables, key, step):
                 variables = vm.apply_hooks(key, variables, step)
-                _, (per_sample, out) = self._forward_loss(params, variables)
+                per_sample, out = self._eval_chunked(params, variables)
                 return out, per_sample
             return jax.jit(eval_fn)
 
@@ -111,14 +174,12 @@ class ExecutionCore:
             track = static["track"]
 
             def scan_fn(params, variables, opt_state, key, start_step):
-                grad_fn = jax.value_and_grad(
-                    self._forward_loss, argnums=1, has_aux=True)
-
                 def body(carry, xs):
                     variables, opt_state, _ = carry
                     i, k = xs
                     variables = vm.apply_hooks(k, variables, i)
-                    (_, (per_sample, out)), grads = grad_fn(params, variables)
+                    per_sample, out, grads = self._value_and_grad(
+                        params, variables)
                     updates, opt_state = self.optimizer.update(
                         grads, opt_state, variables)
                     variables = optax.apply_updates(variables, updates)
@@ -148,7 +209,7 @@ class ExecutionCore:
 
             def tell_fn(params, variables, key, step):
                 variables = vm.apply_hooks(key, variables, step)
-                _, (per_sample, out) = self._forward_loss(params, variables)
+                per_sample, out = self._eval_chunked(params, variables)
                 use_inv = (inverted and self.transform_fns
                            and "transform" in variables)
                 if not use_inv:

@@ -193,6 +193,10 @@ class StyleGAN2Generator(nn.Module):
     n_mlp: int = 8
     channel_multiplier: int = 2
     dtype: Any = jnp.float32
+    # remat (recompute-in-backward) for synthesis blocks at/above this
+    # resolution; 0 disables. FFHQ-1024 x pop-22 needs it to fit one chip
+    # (SURVEY.md hard part f).
+    remat_from_res: int = 0
 
     @property
     def log_size(self):
@@ -231,9 +235,14 @@ class StyleGAN2Generator(nn.Module):
         for li in range(self.log_size - 2):
             res = 2 ** (li + 3)
             ch = channels_for(res, cm)
-            convs.append(StyledConv(ch, up=True, dtype=self.dtype, name=f"convs_{2 * li}"))
-            convs.append(StyledConv(ch, dtype=self.dtype, name=f"convs_{2 * li + 1}"))
-            to_rgbs.append(ToRGB(dtype=self.dtype, name=f"to_rgbs_{li}"))
+            use_remat = self.remat_from_res and res >= self.remat_from_res
+            conv_cls = nn.remat(StyledConv) if use_remat else StyledConv
+            rgb_cls = nn.remat(ToRGB) if use_remat else ToRGB
+            convs.append(conv_cls(ch, up=True, dtype=self.dtype,
+                                  name=f"convs_{2 * li}"))
+            convs.append(conv_cls(ch, dtype=self.dtype,
+                                  name=f"convs_{2 * li + 1}"))
+            to_rgbs.append(rgb_cls(dtype=self.dtype, name=f"to_rgbs_{li}"))
         self.convs = convs
         self.to_rgbs = to_rgbs
 
@@ -277,14 +286,16 @@ class StyleGAN2(FlaxModel):
 
     def __init__(self, model: str = "cars", search: str = "z", params=None,
                  pretrained_path: Optional[str] = None, seed: int = 0,
-                 channel_multiplier: int = 2, dtype: Any = jnp.float32):
+                 channel_multiplier: int = 2, dtype: Any = jnp.float32,
+                 remat_from_res: int = 0):
         assert model in self.MODELS, model
         assert search in ("z", "w+"), search
         self.im_res = self.MODELS[model]
         self.search = search
         module = StyleGAN2Generator(im_res=self.im_res,
                                     channel_multiplier=channel_multiplier,
-                                    dtype=dtype)
+                                    dtype=dtype,
+                                    remat_from_res=remat_from_res)
 
         if params is None and pretrained_path:
             import torch

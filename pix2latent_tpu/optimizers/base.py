@@ -30,9 +30,11 @@ class _BaseOptimizer:
             (``models.base``) or a bare callable.
         var_manager: the VariableManager with registered variables.
         loss_fn: ``loss_fn(out, **output_vars) -> per-sample/elementwise loss``.
-        max_batch_size: accepted for API parity with the reference
-            (``base_optimizer.py:12,24``); on TPU the population is executed
-            whole (vmapped/sharded) — memory is managed by XLA, not chunking.
+        max_batch_size: population microbatch size (the reference's
+            ``base_optimizer.py:12,24``). None (default) runs the population
+            whole — right for most workloads; set it for memory-bound cases
+            (e.g. FFHQ-1024 x pop 22 on one chip) where the compiled step
+            then lax.maps over chunks sequentially.
         log: collect per-``log_iter`` loss curves and collage frames.
         track_variables: snapshot input variables every step (returned as
             ``self.tracked``; kept on device until the run ends).
@@ -48,7 +50,8 @@ class _BaseOptimizer:
         self.var_manager = var_manager
         self.loss_fn = loss_fn
         self.core = ExecutionCore(model, var_manager, loss_fn, mesh=mesh,
-                                  track_variables=track_variables)
+                                  track_variables=track_variables,
+                                  max_batch_size=max_batch_size)
         self.model = self.core.model
         self.mesh = mesh
 

@@ -52,14 +52,11 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             variables = core.apply_transforms(variables)
             opt_state = core.init_opt_state(variables)
 
-            grad_fn = jax.value_and_grad(core._forward_loss, argnums=1,
-                                         has_aux=True)
-
             def inner(c, xs2):
                 variables, opt_state = c
                 i, k = xs2
                 variables = vm.apply_hooks(k, variables, i)
-                (_, (per_sample, _)), grads = grad_fn(params, variables)
+                per_sample, _, grads = core._value_and_grad(params, variables)
                 updates, opt_state = core.optimizer.update(
                     grads, opt_state, variables)
                 variables = optax.apply_updates(variables, updates)

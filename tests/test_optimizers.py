@@ -205,3 +205,38 @@ class TestFusedBasinCMA:
         assert "input" in variables and "z" in variables["input"]
         assert outs[0].ndim == 3
         assert losses[-1][0] == 1 * 2 + 2
+
+
+class TestMicrobatching:
+    def test_chunked_grads_match_whole(self, model, target_and_z):
+        """max_batch_size runs must produce the same optimization trajectory
+        as whole-population runs (chunked lax.map is exact, not approximate)."""
+        target, _ = target_and_z
+        results = []
+        for mbs in (None, 2):
+            vm = make_vm(target)
+            opt = GradientOptimizer(model, vm, loss_fn, max_batch_size=mbs,
+                                    track_variables=False, seed=0)
+            variables, outs, losses = opt.optimize(num_samples=6,
+                                                   grad_steps=10)
+            results.append((np.asarray(variables["input"]["z"]),
+                            np.asarray(losses[-1][1]["loss"])))
+        np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-5)
+        np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-5)
+
+    def test_nondivisible_population_handled(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target)
+        opt = GradientOptimizer(model, vm, loss_fn, max_batch_size=4)
+        # pop 10 with max 4 -> 5 chunks of 2 (nearest divisor)
+        variables, outs, losses = opt.optimize(num_samples=10, grad_steps=5)
+        assert losses[-1][1]["loss"].shape == (10,)
+
+    def test_basincma_fused_with_microbatch(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = BasinCMAOptimizer(model, vm, loss_fn, max_batch_size=5,
+                                track_variables=False)
+        variables, outs, losses = opt.optimize_fused(
+            meta_steps=2, grad_steps=5, last_grad_steps=10)
+        assert np.isfinite(np.asarray(losses[-1][1]["loss"])).all()
