@@ -52,6 +52,12 @@ def base_parser(desc, model="biggan"):
                        choices=["cars", "ffhq"])
         p.add_argument("--search", type=str, default="z",
                        choices=["z", "w+"])
+        p.add_argument("--bf16", action="store_true",
+                       help="bfloat16 generator compute")
+        p.add_argument("--remat_from_res", type=int, default=0,
+                       help="recompute synthesis blocks >= this resolution "
+                            "in the backward pass (FFHQ-1024 recipe: "
+                            "--bf16 --remat_from_res 256 --max_minibatch 2)")
     return p
 
 
@@ -66,13 +72,18 @@ def load_biggan(args):
 
 
 def load_stylegan2(args):
+    import jax.numpy as jnp
     from pix2latent_tpu.models.stylegan2 import StyleGAN2
+    kwargs = dict(
+        search=args.search,
+        dtype=jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32,
+        remat_from_res=getattr(args, "remat_from_res", 0))
     with warnings.catch_warnings():
         if args.checkpoint:
-            return StyleGAN2(args.model, search=args.search,
-                             pretrained_path=args.checkpoint)
+            return StyleGAN2(args.model, pretrained_path=args.checkpoint,
+                             **kwargs)
         warnings.simplefilter("ignore")
-        return StyleGAN2(args.model, search=args.search)
+        return StyleGAN2(args.model, **kwargs)
 
 
 def load_target(args, model, im_size, style=None):
@@ -138,9 +149,12 @@ def register_stylegan2_vars(vm, model, args, target, weight, loss_mask=None):
     return vm
 
 
-def cars_loss_mask(im=512):
+def cars_loss_mask(im=512, model="cars"):
     """LSUN-Cars border mask: content occupies the middle 384 rows of the
-    512-padded square (reference ``invert_stylegan2_cars_basincma.py:35-43``)."""
+    512-padded square (reference ``invert_stylegan2_cars_basincma.py:35-43``).
+    Returns None for non-cars models (FFHQ images fill the frame)."""
+    if model != "cars":
+        return None
     m = np.zeros((im, im, 3), np.float32)
     pad = im // 8
     m[pad:im - pad] = 1.0

@@ -20,7 +20,7 @@ def main():
     target, weight = load_target(args, model, 256, style="biggan")
 
     vm = register_biggan_vars(VariableManager(), model, args, target, weight)
-    opt = GradientOptimizer(model, vm, make_loss(args), log=args.make_video)
+    opt = GradientOptimizer(model, vm, make_loss(args), log=args.make_video, max_batch_size=args.max_minibatch)
 
     grad_steps = 20 if args.smoke else 500
     num_samples = 4 if args.smoke else args.num_samples

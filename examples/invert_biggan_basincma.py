@@ -24,7 +24,7 @@ def main():
     target, weight = load_target(args, model, 256, style="biggan")
 
     vm = register_biggan_vars(VariableManager(), model, args, target, weight)
-    opt = BasinCMAOptimizer(model, vm, make_loss(args), log=args.make_video)
+    opt = BasinCMAOptimizer(model, vm, make_loss(args), log=args.make_video, max_batch_size=args.max_minibatch)
 
     if args.smoke:
         meta, grad, last = 2, 5, 10

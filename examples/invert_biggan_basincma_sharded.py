@@ -34,7 +34,8 @@ def main():
 
     vm = register_biggan_vars(VariableManager(), model, args, target, weight)
     opt = BasinCMAOptimizer(model, vm, make_loss(args), mesh=mesh,
-                            log=args.make_video)
+                            log=args.make_video,
+                            max_batch_size=args.max_minibatch)
 
     if args.smoke:
         meta, grad, last = 2, 4, 8

@@ -20,7 +20,7 @@ def main():
     target, weight = load_target(args, model, 256, style="biggan")
 
     vm = register_biggan_vars(VariableManager(), model, args, target, weight)
-    opt = CMAOptimizer(model, vm, make_loss(args), log=args.make_video)
+    opt = CMAOptimizer(model, vm, make_loss(args), log=args.make_video, max_batch_size=args.max_minibatch)
 
     meta, grad = (5, 10) if args.smoke else (200, 300)
     variables, outs, losses = opt.optimize(meta_steps=meta, grad_steps=grad)

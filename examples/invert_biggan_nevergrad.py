@@ -24,8 +24,7 @@ def main():
     target, weight = load_target(args, model, 256, style="biggan")
 
     vm = register_biggan_vars(VariableManager(), model, args, target, weight)
-    opt = NevergradOptimizer(args.ng_method, model, vm, make_loss(args),
-                             log=args.make_video)
+    opt = NevergradOptimizer(args.ng_method, model, vm, make_loss(args), log=args.make_video, max_batch_size=args.max_minibatch)
 
     meta, grad = (5, 10) if args.smoke else (1000, 300)
     variables, outs, losses = opt.optimize(

@@ -40,8 +40,7 @@ def main():
     vm.register("t", shape=(t_dim,), var_type="transform",
                 requires_grad=False, grad_free=True)
 
-    t_opt = TransformBasinCMAOptimizer(model, vm, make_loss(args),
-                                       log=args.make_video)
+    t_opt = TransformBasinCMAOptimizer(model, vm, make_loss(args), log=args.make_video, max_batch_size=args.max_minibatch)
     t_opt.register_transform(target_tf, "t", "target")
     t_opt.register_transform(weight_tf, "t", "weight")
     t_opt.set_variable_propagation("z")
@@ -60,7 +59,7 @@ def main():
     loss_fn = make_loss(args)
     if args.method == "adam":
         vm.edit_variable("z", {"grad_free": False})
-        opt = GradientOptimizer(model, vm, loss_fn, log=args.make_video)
+        opt = GradientOptimizer(model, vm, loss_fn, log=args.make_video, max_batch_size=args.max_minibatch)
         opt.register_transform(target_tf, "t", "target")
         opt.register_transform(weight_tf, "t", "weight")
         variables, outs, losses = opt.optimize(
@@ -68,14 +67,14 @@ def main():
             grad_steps=20 if args.smoke else 500)
     elif args.method == "cma":
         vm.edit_variable("z", {"grad_free": True})
-        opt = CMAOptimizer(model, vm, loss_fn, log=args.make_video)
+        opt = CMAOptimizer(model, vm, loss_fn, log=args.make_video, max_batch_size=args.max_minibatch)
         opt.register_transform(target_tf, "t", "target")
         opt.register_transform(weight_tf, "t", "weight")
         m, g = (3, 10) if args.smoke else (200, 300)
         variables, outs, losses = opt.optimize(meta_steps=m, grad_steps=g)
     else:
         vm.edit_variable("z", {"grad_free": True})
-        opt = BasinCMAOptimizer(model, vm, loss_fn, log=args.make_video)
+        opt = BasinCMAOptimizer(model, vm, loss_fn, log=args.make_video, max_batch_size=args.max_minibatch)
         opt.register_transform(target_tf, "t", "target")
         opt.register_transform(weight_tf, "t", "weight")
         m, g, l = (2, 4, 8) if args.smoke else (30, 30, 300)

@@ -24,9 +24,8 @@ def main():
     target, weight = load_target(args, model, im, style="stylegan2")
 
     vm = register_stylegan2_vars(VariableManager(), model, args, target,
-                                 weight, loss_mask=cars_loss_mask(im))
-    opt = NevergradOptimizer(args.ng_method, model, vm, make_loss(args),
-                             log=args.make_video)
+                                 weight, loss_mask=cars_loss_mask(im, args.model))
+    opt = NevergradOptimizer(args.ng_method, model, vm, make_loss(args), log=args.make_video, max_batch_size=args.max_minibatch)
     opt.log_resize_factor = 0.5
 
     meta, grad = (3, 8) if args.smoke else (1000, 300)

@@ -25,6 +25,7 @@ from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from pix2latent_tpu.models.base import as_model
@@ -89,6 +90,30 @@ class ExecutionCore:
     # fused forward / loss                                               #
     # ------------------------------------------------------------------ #
 
+    def _dedupe_outputs(self, variables: Variables) -> Variables:
+        """Shrink constant output variables to one shared row.
+
+        ``initialize`` broadcasts defaults to [pop, ...] (reference
+        semantics), but when an output var has a default, no gradient, no
+        hook and no registered transform, all rows are identical — and the
+        per-sample copy is catastrophic on TPU for thin-channel images
+        (a [22,1024,1024,3] f32 temp pads 42x to 11GB in HBM). The losses
+        broadcast 1-row targets, so this is exact.
+        """
+        info = self.var_manager.variable_info
+        outputs = variables.get("output")
+        if not outputs:
+            return variables
+        out = {vt: dict(d) for vt, d in variables.items()}
+        for name, data in outputs.items():
+            spec = info[name]
+            if (spec["default"] is not None and not spec["requires_grad"]
+                    and spec["hook_fn"] is None
+                    and name not in self.transform_fns
+                    and data.shape[0] != 1):
+                out["output"][name] = data[:1]
+        return out
+
     def _forward_loss(self, params, variables: Variables):
         inputs = variables.get("input", {})
         outputs = variables.get("output", {})
@@ -98,11 +123,15 @@ class ExecutionCore:
         per_sample = loss_map.reshape(pop, -1).mean(axis=1)
         return per_sample.mean(), (per_sample, out)
 
+    def _pop(self, variables) -> int:
+        """Population size: the max leading dim (deduped outputs are 1-row)."""
+        return max(a.shape[0] for a in jax.tree.leaves(variables))
+
     def _n_chunks(self, variables) -> int:
         """Number of sequential microbatches for the current population."""
         if not self.max_batch_size:
             return 1
-        pop = jax.tree.leaves(variables)[0].shape[0]
+        pop = self._pop(variables)
         if pop <= self.max_batch_size:
             return 1
         n = -(-pop // self.max_batch_size)
@@ -121,20 +150,46 @@ class ExecutionCore:
             (_, (per_sample, out)), grads = grad_fn(params, variables)
             return per_sample, out, grads
 
-        pop = jax.tree.leaves(variables)[0].shape[0]
-        chunked = jax.tree.map(
-            lambda a: a.reshape(n, a.shape[0] // n, *a.shape[1:]), variables)
+        pop = self._pop(variables)
+        leaves, treedef = jax.tree_util.tree_flatten(variables)
+        # shared 1-row leaves (deduped outputs) stay OUT of the map — they
+        # are closed over (a broadcast into the map stack tiles 42x on TPU)
+        idx = [i for i, a in enumerate(leaves) if a.shape[0] == pop]
+        mapped = tuple(
+            leaves[i].reshape(n, pop // n, *leaves[i].shape[1:])
+            for i in idx)
+
+        def rebuild(mapped_leaves):
+            full = list(leaves)
+            for j, i in enumerate(idx):
+                full[i] = mapped_leaves[j]
+            return jax.tree_util.tree_unflatten(treedef, full)
+
         # each chunk's loss is a mean over chunk_size samples; rescale grads
         # so the result equals the whole-population mean's gradient exactly
         scale = (pop // n) / pop
 
-        def one(chunk_vars):
-            (_, (ps, o)), g = grad_fn(params, chunk_vars)
-            return ps, o, jax.tree.map(lambda x: x * scale, g)
+        def one(mapped_leaves):
+            def loss_of(ml):
+                return self._forward_loss(params, rebuild(ml))
+            (_, (ps, o)), g = jax.value_and_grad(
+                loss_of, has_aux=True)(mapped_leaves)
+            # flatten images: a stacked [n, chunk, H, W, 3] tiles its 3-wide
+            # minor dim to 128 lanes on TPU (42x padding, 11GB at 1024^2)
+            o_flat = o.reshape(o.shape[0], -1)
+            return ps, o_flat, jax.tree.map(lambda x: x * scale, g)
 
-        ps, out, grads = jax.lax.map(one, chunked)
+        out_shape = self._out_shape(
+            params, rebuild(tuple(m[0] for m in mapped)))
+        ps, out_flat, grads_mapped = jax.lax.map(one, mapped)
         unchunk = lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
-        return (unchunk(ps), unchunk(out), jax.tree.map(unchunk, grads))
+        out = unchunk(out_flat).reshape(pop, *out_shape[1:])
+        # grads tree matching `variables`: zeros for shared (frozen) leaves
+        grad_leaves = [jnp.zeros_like(a) for a in leaves]
+        for j, i in enumerate(idx):
+            grad_leaves[i] = unchunk(grads_mapped[j])
+        grads = jax.tree_util.tree_unflatten(treedef, grad_leaves)
+        return unchunk(ps), out, grads
 
     def _eval_chunked(self, params, variables):
         """(per_sample, out) without gradients, chunked like above."""
@@ -142,16 +197,29 @@ class ExecutionCore:
         if n == 1:
             _, (per_sample, out) = self._forward_loss(params, variables)
             return per_sample, out
-        chunked = jax.tree.map(
-            lambda a: a.reshape(n, a.shape[0] // n, *a.shape[1:]), variables)
+        pop = self._pop(variables)
+        leaves, treedef = jax.tree_util.tree_flatten(variables)
+        idx = [i for i, a in enumerate(leaves) if a.shape[0] == pop]
+        mapped = tuple(
+            leaves[i].reshape(n, pop // n, *leaves[i].shape[1:])
+            for i in idx)
 
-        def one(chunk_vars):
-            _, (ps, o) = self._forward_loss(params, chunk_vars)
-            return ps, o
+        def rebuild(mapped_leaves):
+            full = list(leaves)
+            for j, i in enumerate(idx):
+                full[i] = mapped_leaves[j]
+            return jax.tree_util.tree_unflatten(treedef, full)
 
-        ps, out = jax.lax.map(one, chunked)
+        def one(mapped_leaves):
+            _, (ps, o) = self._forward_loss(params, rebuild(mapped_leaves))
+            return ps, o.reshape(o.shape[0], -1)   # flat: see _value_and_grad
+
+        out_shape = self._out_shape(
+            params, rebuild(tuple(m[0] for m in mapped)))
+        ps, out_flat = jax.lax.map(one, mapped)
         unchunk = lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
-        return unchunk(ps), unchunk(out)
+        out = unchunk(out_flat).reshape(pop, *out_shape[1:])
+        return unchunk(ps), out
 
     def _get(self, kind, **static):
         key = (kind, tuple(sorted(static.items())))
@@ -164,6 +232,7 @@ class ExecutionCore:
 
         if kind == "eval":
             def eval_fn(params, variables, key, step):
+                variables = self._dedupe_outputs(variables)
                 variables = vm.apply_hooks(key, variables, step)
                 per_sample, out = self._eval_chunked(params, variables)
                 return out, per_sample
@@ -174,6 +243,9 @@ class ExecutionCore:
             track = static["track"]
 
             def scan_fn(params, variables, opt_state, key, start_step):
+                variables = self._dedupe_outputs(variables)
+                out_shape = self._out_shape(params, variables)
+
                 def body(carry, xs):
                     variables, opt_state, _ = carry
                     i, k = xs
@@ -186,16 +258,18 @@ class ExecutionCore:
                     ys = {"loss": per_sample}
                     if track:
                         ys["tracked"] = variables.get("input", {})
-                    return (variables, opt_state, out), ys
+                    # carry images flat: [pop, H, W, 3] in a carry gets
+                    # lane-padded 42x on TPU (3 -> 128); [pop, H*W*3] doesn't
+                    return (variables, opt_state,
+                            out.reshape(out.shape[0], -1)), ys
 
-                pop = jax.tree.leaves(variables)[0].shape[0]
-                out0 = jnp.zeros(self._out_shape(params, variables),
-                                 jnp.float32)
+                out0 = jnp.zeros((out_shape[0],
+                                  int(np.prod(out_shape[1:]))), jnp.float32)
                 steps = start_step + jnp.arange(n_steps)
                 keys = jax.random.split(key, n_steps)
-                (variables, opt_state, out), ys = jax.lax.scan(
+                (variables, opt_state, out_flat), ys = jax.lax.scan(
                     body, (variables, opt_state, out0), (steps, keys))
-                return variables, opt_state, out, ys
+                return variables, opt_state, out_flat.reshape(out_shape), ys
             return jax.jit(scan_fn)
 
         if kind in ("tell_loss", "tell_loss_raw"):
@@ -208,6 +282,7 @@ class ExecutionCore:
             inverted = static["inverted"]
 
             def tell_fn(params, variables, key, step):
+                variables = self._dedupe_outputs(variables)
                 variables = vm.apply_hooks(key, variables, step)
                 per_sample, out = self._eval_chunked(params, variables)
                 use_inv = (inverted and self.transform_fns

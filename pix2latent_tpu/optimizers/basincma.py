@@ -50,6 +50,7 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             x = cma.ask(self.cma_params, state, k_ask)
             variables[var_type][name] = x.reshape(n, *shape)
             variables = core.apply_transforms(variables)
+            variables = core._dedupe_outputs(variables)
             opt_state = core.init_opt_state(variables)
 
             def inner(c, xs2):
