@@ -17,7 +17,8 @@ from pix2latent_tpu.optimizers.cma_optimizer import CMAOptimizer
 from pix2latent_tpu.optimizers.basincma import BasinCMAOptimizer
 from pix2latent_tpu.optimizers.ng_optimizer import (HybridNevergradOptimizer,
                                                     NevergradOptimizer)
+from pix2latent_tpu.optimizers.batched import BatchedBasinCMAOptimizer
 
 __all__ = ["GradientOptimizer", "CMAOptimizer", "BasinCMAOptimizer",
            "NevergradOptimizer", "HybridNevergradOptimizer",
-           "_BaseOptimizer"]
+           "BatchedBasinCMAOptimizer", "_BaseOptimizer"]
