@@ -270,7 +270,9 @@ class ExecutionCore:
                 (variables, opt_state, out_flat), ys = jax.lax.scan(
                     body, (variables, opt_state, out0), (steps, keys))
                 return variables, opt_state, out_flat.reshape(out_shape), ys
-            return jax.jit(scan_fn)
+            # donate the population + Adam state: they are always replaced by
+            # the returned values, and donation lets XLA reuse their HBM
+            return jax.jit(scan_fn, donate_argnums=(1, 2))
 
         if kind in ("tell_loss", "tell_loss_raw"):
             # CMA tell loss: a fresh forward of the post-inner-loop variables

@@ -79,7 +79,9 @@ class _BaseCMAOptimizer:
         x = cma.ask(self.cma_params, self.cma_state, k_ask)
         var_type, name, shape = self._gf_var
         variables[var_type][name] = x.reshape(self.num_samples, *shape)
-        self._sampled = x
+        # defensive copy: the reshaped view shares the buffer that the
+        # donated grad-scan consumes; the tell needs the original ask
+        self._sampled = jnp.array(x, copy=True)
         return self.core.place(variables)
 
     def cma_update(self, variables, loss=None, inverted_loss=False, step=0):

@@ -72,7 +72,9 @@ class _BaseNGOptimizer:
         x = self.ng_strategy.ask(self.ng_state, k_ask)
         var_type, name, shape = self._gf_var
         variables[var_type][name] = x.reshape(self.num_samples, *shape)
-        self._sampled = x
+        # defensive copy: the reshaped view shares the buffer that the
+        # donated grad-scan consumes; the tell needs the original ask
+        self._sampled = jnp.array(x, copy=True)
         return self.core.place(variables)
 
     def ng_update(self, variables, loss=None, inverted_loss=False, step=0):
