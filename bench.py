@@ -16,6 +16,14 @@ steady-state rate of the reference implementation on its era hardware
 the reference's max_batch_size=9 chunking + per-step host sync,
 ``closure.py:60``) — no upstream-published numbers exist (BASELINE.md).
 
+Quality gate: alongside throughput, the JSON carries the per-generation best
+tell loss of a short fixed-seed run in the bench dtype AND in float32
+(``final_loss`` / ``final_loss_f32`` / ``f32_delta``), so a perf change that
+silently breaks optimization fails loudly. Timing uses >= 10 generations with
+per-generation wall times (mean + stddev); the CMA state evolves between
+dispatches, so the axon runtime's dispatch memoization cannot fake the
+numbers.
+
 Prints ONE JSON line. Weights are random-init (zero-egress environment):
 identical FLOPs/memory traffic to the pretrained checkpoint.
 """
@@ -36,8 +44,7 @@ enable_compilation_cache()
 PYTORCH_V100_BASELINE_IMAGES_PER_SEC = 30.0
 
 # bfloat16 generator/LPIPS compute (variables, Adam state and loss pooling
-# stay float32): measured 205 img/s vs 122 img/s at f32 on TPU v5e with
-# finite, converging losses. Override with PIX2LATENT_BENCH_DTYPE=float32.
+# stay float32). Override with PIX2LATENT_BENCH_DTYPE=float32.
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 _DTYPE_NAME = os.environ.get("PIX2LATENT_BENCH_DTYPE", "bfloat16")
 if _DTYPE_NAME not in _DTYPES:
@@ -48,67 +55,104 @@ BENCH_DTYPE = _DTYPES[_DTYPE_NAME]
 
 POP = 18            # reference CMA popsize for d=128
 GRAD_STEPS = 30     # reference inner-loop budget per generation
-WARMUP_GENS = 1
-TIMED_GENS = 3
+WARMUP_GENS = 2
+TIMED_GENS = 12
+QUALITY_GENS = 5    # fixed-seed convergence check (bench dtype vs f32)
+
+
+def _build(dtype):
+    """(opt, gen_fn, defaults) for a BigGAN-256 BasinCMA problem at dtype."""
+    import pix2latent_tpu.loss_functions as LF
+    from pix2latent_tpu import VariableManager, distribution as dist, hooks
+    from pix2latent_tpu.models.biggan import BigGAN
+    from pix2latent_tpu.optimizers import BasinCMAOptimizer
+
+    model = BigGAN("biggan-deep-256", dtype=dtype)
+    loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=10.0, dtype=dtype)
+
+    # fixed non-trivial target: a smooth ramp (a zero target makes the
+    # masked-L1 trivially separable; a ramp keeps both loss terms active)
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32) / 255.0
+    target = jnp.asarray(
+        np.stack([xx, yy, 0.5 * (xx + yy)], axis=-1) * 2.0 - 1.0)
+    weight = jnp.ones((256, 256, 3), jnp.float32)
+
+    vm = VariableManager(seed=0)
+    vm.register("z", shape=(128,), var_type="input", grad_free=True,
+                distribution=dist.TruncatedNormalModulo(sigma=1.0, trunc=2.0),
+                learning_rate=0.05, hook_fn=hooks.Clamp(2.0))
+    vm.register("c", shape=(128,), var_type="input", learning_rate=0.01,
+                default=jnp.zeros((128,)))
+    vm.register("target", shape=(256, 256, 3), var_type="output",
+                requires_grad=False, default=target)
+    vm.register("weight", shape=(256, 256, 3), var_type="output",
+                requires_grad=False, default=weight)
+
+    opt = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
+    opt.setup_cma(vm)
+    assert opt.num_samples == POP, opt.num_samples
+
+    # fused generation: ask + 30 scanned fwd/bwd/Adam steps + inverted
+    # tell + CMA update in ONE XLA dispatch (optimize_fused machinery)
+    gen_fn = opt._build_fused_generation(GRAD_STEPS)
+    return opt, gen_fn, vm.defaults()
+
+
+def _run_gens(opt, gen_fn, defaults, n_gens, seed, state=None,
+              time_each=False):
+    """Run ``n_gens`` fused generations. Returns (state, gen_mins, times)."""
+    if state is None:
+        opt.setup_cma(opt.var_manager)   # fresh CMA state
+        state = opt.cma_state
+    key = jax.random.PRNGKey(seed)
+    mins, times = [], []
+    for i in range(n_gens):
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        state, gen_min = gen_fn(opt.model.params, defaults, state, sub,
+                                jnp.asarray(i, jnp.int32))
+        if time_each:
+            jax.block_until_ready(gen_min)
+            times.append(time.time() - t0)
+        mins.append(gen_min)
+    jax.block_until_ready(mins[-1])
+    return state, [float(m) for m in mins], times
 
 
 def main():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        import pix2latent_tpu.loss_functions as LF
-        from pix2latent_tpu import VariableManager, distribution as dist, hooks
-        from pix2latent_tpu.models.biggan import BigGAN
-        from pix2latent_tpu.optimizers import BasinCMAOptimizer
+        opt, gen_fn, defaults = _build(BENCH_DTYPE)
 
-        model = BigGAN("biggan-deep-256", dtype=BENCH_DTYPE)
-        loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=10.0,
-                                    dtype=BENCH_DTYPE)
+        # ---- throughput: warmup, then per-generation wall times ---------- #
+        state, _, _ = _run_gens(opt, gen_fn, defaults, WARMUP_GENS, seed=17)
+        state, timed_mins, times = _run_gens(
+            opt, gen_fn, defaults, TIMED_GENS, seed=18, state=state,
+            time_each=True)
+        times = np.asarray(times)
+        steps_per_sec = GRAD_STEPS / times.mean()
+        images_per_sec = steps_per_sec * POP
 
-        target = jnp.zeros((256, 256, 3), jnp.float32)
-        weight = jnp.ones((256, 256, 3), jnp.float32)
+        # ---- quality gate: fixed-seed short run, bench dtype vs f32 ------ #
+        _, q_mins, _ = _run_gens(opt, gen_fn, defaults, QUALITY_GENS, seed=42)
+        final_loss = q_mins[-1]
+        assert np.isfinite(q_mins).all(), f"non-finite tell losses: {q_mins}"
+        assert final_loss < q_mins[0], (
+            f"no convergence: gen0 {q_mins[0]} -> gen{QUALITY_GENS} "
+            f"{final_loss}")
 
-        vm = VariableManager(seed=0)
-        vm.register("z", shape=(128,), var_type="input", grad_free=True,
-                    distribution=dist.TruncatedNormalModulo(sigma=1.0,
-                                                            trunc=2.0),
-                    learning_rate=0.05, hook_fn=hooks.Clamp(2.0))
-        vm.register("c", shape=(128,), var_type="input", learning_rate=0.01,
-                    default=jnp.zeros((128,)))
-        vm.register("target", shape=(256, 256, 3), var_type="output",
-                    requires_grad=False, default=target)
-        vm.register("weight", shape=(256, 256, 3), var_type="output",
-                    requires_grad=False, default=weight)
+        if BENCH_DTYPE is jnp.float32:
+            final_loss_f32, f32_delta = final_loss, 0.0
+        else:
+            opt32, gen_fn32, defaults32 = _build(jnp.float32)
+            _, q32_mins, _ = _run_gens(opt32, gen_fn32, defaults32,
+                                       QUALITY_GENS, seed=42)
+            final_loss_f32 = q32_mins[-1]
+            f32_delta = abs(final_loss - final_loss_f32) / final_loss_f32
+            assert f32_delta < 0.15, (
+                f"{_DTYPE_NAME} diverged from f32: {final_loss} vs "
+                f"{final_loss_f32} (delta {f32_delta:.3f})")
 
-        opt = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
-        opt.setup_cma(vm)
-        assert opt.num_samples == POP, opt.num_samples
-
-        # fused generation: ask + 30 scanned fwd/bwd/Adam steps + inverted
-        # tell + CMA update in ONE XLA dispatch (optimize_fused machinery)
-        gen_fn = opt._fused_gens.setdefault(
-            GRAD_STEPS, opt._build_fused_generation(GRAD_STEPS)) \
-            if hasattr(opt, "_fused_gens") else None
-        if gen_fn is None:
-            opt._fused_gens = {GRAD_STEPS:
-                               opt._build_fused_generation(GRAD_STEPS)}
-            gen_fn = opt._fused_gens[GRAD_STEPS]
-
-        state = opt.cma_state
-        for i in range(WARMUP_GENS):
-            state, gen_min = gen_fn(model.params, state, opt.next_key(),
-                                    jnp.asarray(i, jnp.int32))
-        jax.block_until_ready(gen_min)
-
-        t0 = time.time()
-        for i in range(TIMED_GENS):
-            state, gen_min = gen_fn(model.params, state, opt.next_key(),
-                                    jnp.asarray(i, jnp.int32))
-        jax.block_until_ready(gen_min)
-        dt = time.time() - t0
-
-    steps = TIMED_GENS * GRAD_STEPS
-    steps_per_sec = steps / dt
-    images_per_sec = steps_per_sec * POP
     # one full reference inversion = 30*30+300 = 1200 fused steps
     inversions_per_hour = 3600.0 / (1200.0 / steps_per_sec)
 
@@ -124,10 +168,18 @@ def main():
             "population": POP,
             "grad_steps_per_generation": GRAD_STEPS,
             "timed_generations": TIMED_GENS,
+            "gen_time_mean_s": round(float(times.mean()), 4),
+            "gen_time_std_s": round(float(times.std()), 4),
+            "images_per_sec_std": round(
+                float(images_per_sec * times.std() / times.mean()), 2),
+            "final_loss": round(final_loss, 5),
+            "final_loss_f32": round(final_loss_f32, 5),
+            "f32_delta": round(f32_delta, 4),
+            "quality_generations": QUALITY_GENS,
             "full_inversions_per_hour": round(inversions_per_hour, 2),
             "baseline_estimate_images_per_sec":
                 PYTORCH_V100_BASELINE_IMAGES_PER_SEC,
-            "compute_dtype": str(BENCH_DTYPE.__name__),
+            "compute_dtype": _DTYPE_NAME,
             "backend": jax.default_backend(),
         },
     }

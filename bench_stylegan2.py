@@ -19,7 +19,7 @@ enable_compilation_cache()
 
 POP = 22          # reference popsize for d=512 (README.md:74)
 GRAD_STEPS = 30
-TIMED_GENS = 2
+TIMED_GENS = 10
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 BENCH_DTYPE = _DTYPES[os.environ.get("PIX2LATENT_BENCH_DTYPE", "bfloat16")]
@@ -55,20 +55,25 @@ def main():
         opt._fused_gens = {GRAD_STEPS:
                            opt._build_fused_generation(GRAD_STEPS)}
         gen_fn = opt._fused_gens[GRAD_STEPS]
+        defaults = vm.defaults()
 
         state = opt.cma_state
-        state, gen_min = gen_fn(model.params, state, opt.next_key(),
+        state, gen_min = gen_fn(model.params, defaults, state, opt.next_key(),
                                 jnp.asarray(0, jnp.int32))
         jax.block_until_ready(gen_min)
 
-        t0 = time.time()
+        times = []
         for i in range(TIMED_GENS):
-            state, gen_min = gen_fn(model.params, state, opt.next_key(),
+            t0 = time.time()
+            state, gen_min = gen_fn(model.params, defaults, state,
+                                    opt.next_key(),
                                     jnp.asarray(i + 1, jnp.int32))
-        jax.block_until_ready(gen_min)
-        dt = time.time() - t0
+            jax.block_until_ready(gen_min)
+            times.append(time.time() - t0)
 
-    steps_per_sec = TIMED_GENS * GRAD_STEPS / dt
+    import numpy as np
+    times = np.asarray(times)
+    steps_per_sec = GRAD_STEPS / times.mean()
     print(json.dumps({
         "metric": "StyleGAN2-cars-512 BasinCMA images/sec/chip",
         "value": round(steps_per_sec * POP, 2),
@@ -76,6 +81,9 @@ def main():
         "vs_baseline": None,
         "detail": {"steps_per_sec": round(steps_per_sec, 3),
                    "population": POP,
+                   "timed_generations": TIMED_GENS,
+                   "gen_time_mean_s": round(float(times.mean()), 4),
+                   "gen_time_std_s": round(float(times.std()), 4),
                    "compute_dtype": str(BENCH_DTYPE.__name__),
                    "backend": jax.default_backend()},
     }))

@@ -40,8 +40,10 @@ def base_parser(desc, model="biggan"):
     p.add_argument("--make_video", action="store_true")
     p.add_argument("--num_samples", type=int, default=9)
     p.add_argument("--max_minibatch", type=int, default=None,
-                   help="accepted for reference parity; the population runs "
-                        "whole on TPU")
+                   help="population microbatch size: bounds peak activation "
+                        "memory via in-graph lax.map chunking (the FFHQ-1024 "
+                        "x pop-22 recipe needs 2); None runs the population "
+                        "whole")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="pretrained torch checkpoint to convert")
     p.add_argument("--save_dir", type=str, default=None)

@@ -114,14 +114,61 @@ class ExecutionCore:
                 out["output"][name] = data[:1]
         return out
 
-    def _forward_loss(self, params, variables: Variables):
+    def _freeze(self, variables: Variables) -> Variables:
+        """stop_gradient on every requires_grad=False variable.
+
+        Without this, ``value_and_grad`` over the whole Variables pytree
+        backprops through the frozen branches too — most expensively the
+        LPIPS backbone applied to the TARGET — and optax then multiplies the
+        result by zero. Stopping the gradient lets XLA delete those backward
+        paths entirely; forward values are bit-identical.
+        """
+        info = self.var_manager.variable_info
+        return {
+            vt: {
+                name: (a if info.get(name, {}).get("requires_grad", True)
+                       else jax.lax.stop_gradient(a))
+                for name, a in d.items()
+            }
+            for vt, d in variables.items()}
+
+    def _forward_loss(self, params, variables: Variables, ctx=None):
+        variables = self._freeze(variables)
         inputs = variables.get("input", {})
         outputs = variables.get("output", {})
         out = self.model.apply(params, **inputs)
-        loss_map = self.loss_fn(out, **outputs)
+        if ctx is not None:
+            loss_map = self.loss_fn.from_ctx(out, ctx)
+        else:
+            loss_map = self.loss_fn(out, **outputs)
         pop = out.shape[0]
         per_sample = loss_map.reshape(pop, -1).mean(axis=1)
         return per_sample.mean(), (per_sample, out)
+
+    def _can_precompute(self) -> bool:
+        """True when the loss supports target-side precomputation AND every
+        output variable is loop-invariant inside a scan (frozen, no hook).
+        Transforms don't disqualify: they are applied before the scan."""
+        if not hasattr(self.loss_fn, "precompute"):
+            return False
+        outs = [s for s in self.var_manager.variable_info.values()
+                if s["var_type"] == "output"]
+        if not outs:
+            return False
+        return all(not s["requires_grad"] and s["hook_fn"] is None
+                   for s in outs)
+
+    def _make_ctx(self, variables: Variables):
+        """Precompute the loss's target-side context (e.g. the LPIPS target
+        feature pyramid) ONCE, for reuse across every step of a scan. Returns
+        None when precomputation isn't applicable."""
+        if not self._can_precompute():
+            return None
+        outputs = variables.get("output")
+        if not outputs:
+            return None
+        return self.loss_fn.precompute(
+            **jax.tree.map(jax.lax.stop_gradient, dict(outputs)))
 
     def _pop(self, variables) -> int:
         """Population size: the max leading dim (deduped outputs are 1-row)."""
@@ -139,15 +186,16 @@ class ExecutionCore:
             n += 1
         return n
 
-    def _value_and_grad(self, params, variables):
+    def _value_and_grad(self, params, variables, ctx=None):
         """(per_sample, out), grads — chunked over the population when
         max_batch_size demands it (lax.map runs chunks sequentially, so peak
-        activation memory is one chunk's forward+backward)."""
+        activation memory is one chunk's forward+backward). ``ctx`` is an
+        optional precomputed loss context (see :meth:`_make_ctx`)."""
         grad_fn = jax.value_and_grad(self._forward_loss, argnums=1,
                                      has_aux=True)
         n = self._n_chunks(variables)
         if n == 1:
-            (_, (per_sample, out)), grads = grad_fn(params, variables)
+            (_, (per_sample, out)), grads = grad_fn(params, variables, ctx)
             return per_sample, out, grads
 
         pop = self._pop(variables)
@@ -171,7 +219,7 @@ class ExecutionCore:
 
         def one(mapped_leaves):
             def loss_of(ml):
-                return self._forward_loss(params, rebuild(ml))
+                return self._forward_loss(params, rebuild(ml), ctx)
             (_, (ps, o)), g = jax.value_and_grad(
                 loss_of, has_aux=True)(mapped_leaves)
             # flatten images: a stacked [n, chunk, H, W, 3] tiles its 3-wide
@@ -191,11 +239,11 @@ class ExecutionCore:
         grads = jax.tree_util.tree_unflatten(treedef, grad_leaves)
         return unchunk(ps), out, grads
 
-    def _eval_chunked(self, params, variables):
+    def _eval_chunked(self, params, variables, ctx=None):
         """(per_sample, out) without gradients, chunked like above."""
         n = self._n_chunks(variables)
         if n == 1:
-            _, (per_sample, out) = self._forward_loss(params, variables)
+            _, (per_sample, out) = self._forward_loss(params, variables, ctx)
             return per_sample, out
         pop = self._pop(variables)
         leaves, treedef = jax.tree_util.tree_flatten(variables)
@@ -211,7 +259,8 @@ class ExecutionCore:
             return jax.tree_util.tree_unflatten(treedef, full)
 
         def one(mapped_leaves):
-            _, (ps, o) = self._forward_loss(params, rebuild(mapped_leaves))
+            _, (ps, o) = self._forward_loss(params, rebuild(mapped_leaves),
+                                            ctx)
             return ps, o.reshape(o.shape[0], -1)   # flat: see _value_and_grad
 
         out_shape = self._out_shape(
@@ -245,13 +294,18 @@ class ExecutionCore:
             def scan_fn(params, variables, opt_state, key, start_step):
                 variables = self._dedupe_outputs(variables)
                 out_shape = self._out_shape(params, variables)
+                # loop-invariant loss context (e.g. the LPIPS target feature
+                # pyramid) computed ONCE here, outside the scan body — the
+                # scan carries the raw target, so XLA cannot hoist the
+                # backbone pass itself (VERDICT.md round 1, item 2)
+                ctx = self._make_ctx(variables)
 
                 def body(carry, xs):
                     variables, opt_state, _ = carry
                     i, k = xs
                     variables = vm.apply_hooks(k, variables, i)
                     per_sample, out, grads = self._value_and_grad(
-                        params, variables)
+                        params, variables, ctx)
                     updates, opt_state = self.optimizer.update(
                         grads, opt_state, variables)
                     variables = optax.apply_updates(variables, updates)
@@ -283,24 +337,34 @@ class ExecutionCore:
             # inverted_loss=True).
             inverted = static["inverted"]
 
-            def tell_fn(params, variables, key, step):
+            def tell_fn(params, variables, key, step, defaults=None,
+                        ctx=None):
+                # ``defaults`` carries the per-problem output defaults
+                # (original un-warped target/weight) as ARGUMENTS — reading
+                # them from the spec inside the trace would embed the image
+                # as a compile-time constant (one recompile per inversion).
                 variables = self._dedupe_outputs(variables)
                 variables = vm.apply_hooks(key, variables, step)
-                per_sample, out = self._eval_chunked(params, variables)
                 use_inv = (inverted and self.transform_fns
                            and "transform" in variables)
+                per_sample, out = self._eval_chunked(
+                    params, variables, ctx=None if use_inv else ctx)
                 if not use_inv:
                     return per_sample
                 info = vm.variable_info
-                target = info["target"]["default"][None]
+                defaults = defaults or {}
+                target = jnp.asarray(
+                    defaults.get("target", info["target"]["default"]))[None]
                 td = self.transform_fns["target"]
                 t = variables[info[td["transform_param"]]["var_type"]][
                     td["transform_param"]]
                 out_inv = td["fn"](out, t, invert=True)
                 kwargs = {}
-                if "weight" in info and info["weight"]["default"] is not None:
-                    kwargs["weight"] = binarize(
-                        info["weight"]["default"][None])
+                w = defaults.get(
+                    "weight",
+                    info["weight"]["default"] if "weight" in info else None)
+                if w is not None:
+                    kwargs["weight"] = binarize(jnp.asarray(w)[None])
                 loss_map = self.loss_fn(out_inv, target=target, **kwargs)
                 pop = out.shape[0]
                 return loss_map.reshape(pop, -1).mean(axis=1)
@@ -342,7 +406,8 @@ class ExecutionCore:
         """Fresh per-sample loss for the CMA tell (un-warped frame when a
         transform is registered and ``inverted``)."""
         return self._get("tell_loss", inverted=bool(inverted))(
-            self.model.params, variables, key, jnp.asarray(step, jnp.int32))
+            self.model.params, variables, key, jnp.asarray(step, jnp.int32),
+            self.var_manager.defaults("output"))
 
     def init_opt_state(self, variables):
         return self.optimizer.init(variables)

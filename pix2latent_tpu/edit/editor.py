@@ -28,8 +28,9 @@ class BigGANLatentEditor:
         best-final-loss sample (reference ``editor.py:16-22``)."""
         payload = load_variables(var_path)
         variables = payload["variables"]
-        loss = np.asarray(payload.get("loss"))
-        assert loss is not None, "saved payload has no 'loss' extra"
+        raw_loss = payload.get("loss")
+        assert raw_loss is not None, "saved payload has no 'loss' extra"
+        loss = np.asarray(raw_loss)
         self._idx = int(np.argmin(loss.reshape(-1)))
         self._z = jnp.asarray(variables["input"]["z"][self._idx])[None]
         self._c = jnp.asarray(variables["input"]["c"][self._idx])[None]

@@ -129,6 +129,16 @@ class ReconstructionLoss:
         loss = self.loss_fn(output, target)
         return _weighted_pool(loss, weight, loss_mask)
 
+    def precompute(self, target, weight=None, loss_mask=None):
+        """Target-side context for :meth:`from_ctx` (trivial here — kept so
+        every loss class shares the precompute protocol the execution core
+        uses to hoist loop-invariant work out of the inner scan)."""
+        return {"target": target, "weight": weight, "loss_mask": loss_mask}
+
+    def from_ctx(self, output, ctx):
+        """Same value as ``__call__(output, **ctx_args)``."""
+        return self(output, ctx["target"], ctx["weight"], ctx["loss_mask"])
+
 
 class PerceptualLoss:
     """LPIPS with spatial weighting (reference ``loss_functions.py:127-148``).
@@ -152,6 +162,21 @@ class PerceptualLoss:
         loss = self.lpips(output, target)  # [pop, H, W, 1]
         return _weighted_pool(loss, weight, loss_mask)
 
+    def precompute(self, target, weight=None, loss_mask=None):
+        """Run the LPIPS backbone on the (loop-invariant) target ONCE and
+        return the normalized feature pyramid; :meth:`from_ctx` then scores
+        candidates against it without re-extracting (or backpropping through)
+        the target branch — the single biggest saving in the inner scan
+        (VERDICT.md round 1, item 2)."""
+        return {"fy": self.lpips.features(target),
+                "weight": weight, "loss_mask": loss_mask}
+
+    def from_ctx(self, output, ctx):
+        """Same value as ``__call__`` (backbone features of identical target
+        rows are identical, so broadcasting a 1-row pyramid is exact)."""
+        loss = self.lpips.distance(output, ctx["fy"])
+        return _weighted_pool(loss, ctx["weight"], ctx["loss_mask"])
+
 
 class ProjectionLoss:
     """The paper's default objective: masked L1 + beta * LPIPS
@@ -169,4 +194,15 @@ class ProjectionLoss:
     def __call__(self, output, target, weight=None, loss_mask=None):
         rec = self.rloss_fn(output, target, weight, loss_mask)
         per = self.ploss_fn(output, target, weight, loss_mask)
+        return rec + self.beta * per
+
+    def precompute(self, target, weight=None, loss_mask=None):
+        """Loop-invariant context: the LPIPS target feature pyramid plus the
+        reconstruction-side target/weight (see PerceptualLoss.precompute)."""
+        return {"rec": self.rloss_fn.precompute(target, weight, loss_mask),
+                "per": self.ploss_fn.precompute(target, weight, loss_mask)}
+
+    def from_ctx(self, output, ctx):
+        rec = self.rloss_fn.from_ctx(output, ctx["rec"])
+        per = self.ploss_fn.from_ctx(output, ctx["per"])
         return rec + self.beta * per

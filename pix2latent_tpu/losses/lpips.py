@@ -152,28 +152,43 @@ class LPIPSModule(nn.Module):
     ``dtype`` sets the backbone compute precision (bfloat16 on TPU); the
     unit-normalization, squared diff and linear heads stay float32 so the
     distance itself keeps full precision.
+
+    The pyramid is split into :meth:`features` (scaling + backbone +
+    unit-normalization of ONE image batch) and :meth:`distance` (features of
+    ``x`` vs precomputed features of ``y``), so a loop-invariant target's
+    feature pyramid can be computed once per inversion and hoisted out of the
+    inner optimization scan — the target branch is otherwise recomputed (and,
+    without stop_gradient, even backpropped) every step. ``__call__(x, y)``
+    is exactly ``distance(x, features(y))``.
     """
     net: str = "alex"
     spatial: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, y):
+    def setup(self):
+        self.backbone = _BACKBONES[self.net](dtype=self.dtype)
+        for i in range(len(NET_CHANNELS[self.net])):
+            # lin head: 1x1 conv, 1 output channel, no bias (lpips NetLinLayer)
+            setattr(self, f"lin{i}", nn.Conv(1, (1, 1), use_bias=False))
+
+    def features(self, y):
+        """Scaled + backbone + unit-normalized feature pyramid of ``y``
+        (f32 list, one entry per LPIPS tap)."""
         shift = jnp.asarray(_SHIFT)
         scale = jnp.asarray(_SCALE)
-        x = ((x - shift) / scale).astype(self.dtype)
         y = ((y - shift) / scale).astype(self.dtype)
+        return [_unit_normalize(f.astype(jnp.float32))
+                for f in self.backbone(y)]
 
-        backbone = _BACKBONES[self.net](dtype=self.dtype, name="backbone")
-        fx = [f.astype(jnp.float32) for f in backbone(x)]
-        fy = [f.astype(jnp.float32) for f in backbone(y)]
-
+    def distance(self, x, fy):
+        """LPIPS distance between ``x`` and precomputed :meth:`features`
+        ``fy`` (whose batch dim must be 1 or match ``x``'s)."""
         out_hw = x.shape[1:3]
+        fx = self.features(x)
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
-            d = (_unit_normalize(a) - _unit_normalize(b)) ** 2
-            # lin head: 1x1 conv, 1 output channel, no bias (lpips NetLinLayer)
-            m = nn.Conv(1, (1, 1), use_bias=False, name=f"lin{i}")(d)
+            d = (a - b) ** 2
+            m = getattr(self, f"lin{i}")(d)
             if self.spatial:
                 m = bilinear_resize(m, out_hw)
             else:
@@ -182,6 +197,9 @@ class LPIPSModule(nn.Module):
         if self.spatial:
             return total                       # [N, H, W, 1]
         return total.reshape(total.shape[0])   # [N]
+
+    def __call__(self, x, y):
+        return self.distance(x, self.features(y))
 
 
 def random_init_params(net: str, key=None, image_size: int = 64):
@@ -284,3 +302,16 @@ class LPIPS:
 
     def __call__(self, x, y):
         return self.module.apply({"params": self.params}, x, y)
+
+    def features(self, y):
+        """Precompute the unit-normalized feature pyramid of ``y`` — see
+        :meth:`LPIPSModule.features`. Use with :meth:`distance` to hoist a
+        loop-invariant target's backbone pass out of an optimization loop."""
+        return self.module.apply({"params": self.params}, y,
+                                 method=LPIPSModule.features)
+
+    def distance(self, x, fy):
+        """LPIPS distance of ``x`` against precomputed :meth:`features`.
+        ``__call__(x, y) == distance(x, features(y))`` exactly."""
+        return self.module.apply({"params": self.params}, x, fy,
+                                 method=LPIPSModule.distance)

@@ -92,15 +92,35 @@ class StandingBatchNorm(nn.Module):
         running_vars = self.param(
             "running_vars", nn.initializers.ones, (N_STATS, self.num_features))
 
-        # linear interpolation at truncation (HF BigGANBatchNorm.forward)
-        coef = truncation / 0.02
-        start_idx = jnp.clip(jnp.floor(coef).astype(jnp.int32), 0, N_STATS - 1)
-        frac = coef - start_idx
-        next_idx = jnp.minimum(start_idx + 1, N_STATS - 1)
-        mean = ((1.0 - frac) * running_means[start_idx]
-                + frac * running_means[next_idx])
-        var = ((1.0 - frac) * running_vars[start_idx]
-               + frac * running_vars[next_idx])
+        # Interpolation at truncation, replicating HF BigGANBatchNorm.forward
+        # EXACTLY — including its quirks: ``coef, start_idx =
+        # math.modf(truncation / step_size)`` in float64 (so truncation=1.0
+        # gives 1.0/0.02 = 49.99...  -> start_idx=49, coef~=1), and the
+        # REVERSED lerp that weights stats[start_idx] by the FRACTIONAL part:
+        # ``stats[start_idx]*coef + stats[start_idx+1]*(1-coef)``. Converted
+        # checkpoints reproduce HF outputs bit-for-bit only with these
+        # semantics (ADVICE.md round 1). Truncation is static (a Python
+        # float) in every shipped path; a traced f32 value cannot reproduce
+        # the float64 modf quirk, so reject it loudly rather than silently
+        # diverge from HF.
+        import math
+        if not isinstance(truncation, (int, float)):
+            raise TypeError(
+                "truncation must be a static Python number (HF's standing-"
+                "stats interpolation uses float64 modf semantics that a "
+                "traced f32 value cannot reproduce); got "
+                f"{type(truncation)}")
+        coef, start_f = math.modf(float(truncation) / 0.02)
+        start_idx = min(int(start_f), N_STATS - 1)
+        if coef != 0.0:
+            next_idx = min(start_idx + 1, N_STATS - 1)
+            mean = (running_means[start_idx] * coef
+                    + running_means[next_idx] * (1.0 - coef))
+            var = (running_vars[start_idx] * coef
+                   + running_vars[next_idx] * (1.0 - coef))
+        else:
+            mean = running_means[start_idx]
+            var = running_vars[start_idx]
 
         inv = jax.lax.rsqrt(var + BN_EPS)
         x_hat = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
@@ -154,6 +174,33 @@ class SelfAttn(nn.Module):
 def _upsample2x(x):
     n, h, w, c = x.shape
     return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="nearest")
+
+
+class SlicedOutputConv(nn.Module):
+    """3x3 SAME conv whose parameters have ``features`` output channels but
+    whose computation produces only the first ``used``.
+
+    Exists for HF BigGAN-deep's conv_to_rgb, which carries a full-width
+    kernel while the model consumes only 3 of its output channels — slicing
+    the KERNEL instead of the OUTPUT is numerically identical and removes
+    the largest tensor write in the generator. Parameter names/shapes match
+    ``nn.Conv(features)`` exactly, so weight converters are unaffected.
+    """
+    features: int
+    used: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, in_ch, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = jax.lax.conv_general_dilated(
+            x, kernel[..., :self.used].astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias[:self.used].astype(y.dtype)
 
 
 class GenBlock(nn.Module):
@@ -245,11 +292,15 @@ class BigGANDeepGenerator(nn.Module):
         h = StandingBatchNorm(h.shape[-1], conditional=False,
                               dtype=self.dtype, name="bn_out")(h, truncation)
         h = nn.relu(h)
-        # HF quirk kept for weight parity: conv_to_rgb outputs `ch` channels
-        # and the image is the first 3.
-        h = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
-                    name="conv_to_rgb")(h)
-        h = h[..., :3]
+        # HF quirk kept for weight parity: conv_to_rgb's weights produce `ch`
+        # output channels and the image is the first 3. Computing all `ch`
+        # and slicing afterwards was the single most expensive op in the
+        # whole inversion step (13.3ms/86ms at 256^2 x pop 18, from the TPU
+        # op profile) — so keep the full [3,3,ch,ch] parameter (converter
+        # parity) but convolve with only the 3 used output channels:
+        # bit-identical to conv-then-slice at ~1/40th the output traffic.
+        h = SlicedOutputConv(features=ch, used=3, dtype=self.dtype,
+                             name="conv_to_rgb")(h)
         return jnp.tanh(h).astype(jnp.float32)
 
 

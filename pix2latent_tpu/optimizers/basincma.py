@@ -36,7 +36,14 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         inner Adam steps + inverted-frame tell + CMA update. A host meta loop
         dispatches it once per generation (a ``lax.scan`` over generations
         measured ~4x slower — the eigh in the CMA tell lowers badly inside a
-        scan body on TPU)."""
+        scan body on TPU).
+
+        All per-problem data (model params, variable defaults — i.e. the
+        target image) travels as ARGUMENTS, so the compiled program is
+        image-independent and caches across inversions. The loss's target-
+        side context (LPIPS target feature pyramid) is precomputed once,
+        outside the inner scan.
+        """
         import optax
 
         vm = self.var_manager
@@ -44,20 +51,23 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         var_type, name, shape = self._gf_var
         n = self.num_samples
 
-        def generation(params, state, key, gen_idx):
+        def generation(params, defaults, state, key, gen_idx):
             k_init, k_ask, k_scan, k_tell = jax.random.split(key, 4)
-            variables = vm.initialize(num_samples=n, key=k_init)
+            variables = vm.initialize(num_samples=n, key=k_init,
+                                      defaults=defaults)
             x = cma.ask(self.cma_params, state, k_ask)
             variables[var_type][name] = x.reshape(n, *shape)
             variables = core.apply_transforms(variables)
             variables = core._dedupe_outputs(variables)
+            ctx = core._make_ctx(variables)
             opt_state = core.init_opt_state(variables)
 
             def inner(c, xs2):
                 variables, opt_state = c
                 i, k = xs2
                 variables = vm.apply_hooks(k, variables, i)
-                per_sample, _, grads = core._value_and_grad(params, variables)
+                per_sample, _, grads = core._value_and_grad(
+                    params, variables, ctx)
                 updates, opt_state = core.optimizer.update(
                     grads, opt_state, variables)
                 variables = optax.apply_updates(variables, updates)
@@ -70,18 +80,24 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
 
             tell_fn_inner = core._build("tell_loss_raw", inverted=True)
             loss = tell_fn_inner(params, variables, k_tell,
-                                 gen_idx * grad_steps + grad_steps)
+                                 gen_idx * grad_steps + grad_steps,
+                                 defaults=defaults, ctx=ctx)
             state = cma.tell(self.cma_params, state, x, loss)
             return state, jnp.min(loss)
 
         return jax.jit(generation)
 
     def optimize_fused(self, meta_steps, grad_steps, last_grad_steps=300,
-                       popsize=None):
+                       popsize=None, progress_every=5):
         """BasinCMA with one XLA dispatch per generation (ask + inner loop +
         tell fused; ~2% faster than ``optimize`` and immune to host jitter).
         No logging/tracking/checkpointing — use ``optimize`` for those.
-        Returns ``(variables, outs, losses)`` like ``optimize``."""
+        ``progress_every``: print the per-generation best tell loss every k
+        generations (fetched one generation behind the dispatch queue, so
+        progress printing never stalls the device). Returns
+        ``(variables, outs, losses)`` like ``optimize``."""
+        from pix2latent_tpu.utils.misc import cprint
+
         self.setup_cma(self.var_manager, popsize=popsize)
         total_steps = meta_steps * grad_steps + last_grad_steps
         if not hasattr(self, "_fused_gens"):
@@ -90,13 +106,21 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             self._fused_gens[grad_steps] = \
                 self._build_fused_generation(grad_steps)
         gen_fn = self._fused_gens[grad_steps]
+        defaults = self.var_manager.defaults()
 
         self.losses, self.outs = [], []
         state = self.cma_state
+        prev_min = None
         for gi in range(meta_steps):
-            state, gen_min = gen_fn(self.model.params, state,
+            state, gen_min = gen_fn(self.model.params, defaults, state,
                                     self.next_key(),
                                     jnp.asarray(gi, jnp.int32))
+            if progress_every and gi and gi % progress_every == 0 \
+                    and prev_min is not None:
+                # prev generation's result: already computed -> free fetch
+                cprint(f"(basin-cma fused) gen {gi}/{meta_steps} "
+                       f"min tell loss {float(prev_min):.4f}", "c")
+            prev_min = gen_min
         self.cma_state = state
 
         # final long generation (skips the tell, reference semantics)
@@ -129,24 +153,12 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         self.losses, self.outs = [], []
         total_steps = meta_steps * grad_steps + last_grad_steps
         timer = Timer()
-        step_count = 0
-        start_iter = 0
 
-        if checkpoint_path:
-            from pix2latent_tpu.utils.checkpoint import (checkpoint_exists,
-                                                         load_checkpoint,
-                                                         save_checkpoint)
-            import jax.numpy as jnp
-            carry_like = {"cma_state": self.cma_state, "key": self._key,
-                          "meta_iter": jnp.zeros((), jnp.int32)}
-            if checkpoint_exists(checkpoint_path):
-                carry = load_checkpoint(checkpoint_path, carry_like)
-                self.cma_state = carry["cma_state"]
-                self._key = carry["key"]
-                start_iter = int(carry["meta_iter"])
-                step_count = start_iter * grad_steps
-                from pix2latent_tpu.utils.misc import cprint
-                cprint(f"(basin-cma) resumed at generation {start_iter}", "y")
+        from pix2latent_tpu.utils.checkpoint import LoopCheckpointer
+        ckpt = LoopCheckpointer(checkpoint_path, self, "cma_state",
+                                every=checkpoint_every)
+        start_iter = ckpt.resume()
+        step_count = start_iter * grad_steps
 
         for meta_iter in range(start_iter, meta_steps + 1):
             is_last = meta_iter == meta_steps
@@ -168,11 +180,6 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             if not is_last:
                 self.cma_update(variables, inverted_loss=True,
                                 step=step_count)
-                if checkpoint_path and \
-                        (meta_iter + 1) % checkpoint_every == 0:
-                    import jax.numpy as jnp
-                    save_checkpoint(checkpoint_path, {
-                        "cma_state": self.cma_state, "key": self._key,
-                        "meta_iter": jnp.asarray(meta_iter + 1, jnp.int32)})
+                ckpt.save(meta_iter + 1)
 
         return self._final_results(variables, total_steps)

@@ -68,32 +68,51 @@ class BatchedBasinCMAOptimizer:
         return optax.multi_transform(
             txs, lambda tree: {k: k for k in tree})
 
-    def _build_generation(self, m, grad_steps, targets, weights,
-                          fixed_inputs):
+    def _build_generation(self, m, grad_steps):
         """One XLA program: M asks -> inner Adam scan over the concatenated
-        [M*pop] batch -> per-image tells."""
+        [M*pop] batch -> post-loop re-eval -> per-image tells.
+
+        Per-image data (targets/weights/fixed inputs) arrives via the
+        ``data`` ARGUMENT, so the compiled program is image-independent and
+        caches across image batches (same rule as the single-image fused
+        generation). The loss's target-side context (LPIPS target features)
+        is precomputed once per generation, outside the scan.
+        """
         pop = self.popsize
         params_cma = self.cma_params
         adam = self._make_adam()
 
-        # per-sample targets: image i owns samples [i*pop, (i+1)*pop)
-        t_rep = jnp.repeat(targets, pop, axis=0)
-        w_rep = jnp.repeat(weights, pop, axis=0) if weights is not None \
-            else None
+        def generation(params, data, states, key, gen_idx):
+            targets = data["targets"]
+            weights = data.get("weights")
+            fixed_inputs = data.get("fixed", {})
 
-        def forward_loss(params, learn):
-            inputs = {k: v for k, v in learn.items()}
-            out = self.model.apply(params, **inputs)
-            kwargs = {"target": t_rep}
-            if w_rep is not None:
-                kwargs["weight"] = w_rep
-            loss_map = self.loss_fn(out, **kwargs)
-            per_sample = loss_map.reshape(m * pop, -1).mean(axis=1)
-            return per_sample.mean(), per_sample
+            # per-sample targets: image i owns samples [i*pop, (i+1)*pop)
+            t_rep = jnp.repeat(targets, pop, axis=0)
+            w_rep = (jnp.repeat(weights, pop, axis=0)
+                     if weights is not None else None)
+            if hasattr(self.loss_fn, "precompute"):
+                ctx = self.loss_fn.precompute(
+                    jax.lax.stop_gradient(t_rep),
+                    None if w_rep is None else jax.lax.stop_gradient(w_rep))
+            else:
+                ctx = None
 
-        grad_fn = jax.value_and_grad(forward_loss, argnums=1, has_aux=True)
+            def forward_loss(params, learn, fixed_rep):
+                out = self.model.apply(params, **learn, **fixed_rep)
+                if ctx is not None:
+                    loss_map = self.loss_fn.from_ctx(out, ctx)
+                else:
+                    kwargs = {"target": t_rep}
+                    if w_rep is not None:
+                        kwargs["weight"] = w_rep
+                    loss_map = self.loss_fn(out, **kwargs)
+                per_sample = loss_map.reshape(m * pop, -1).mean(axis=1)
+                return per_sample.mean(), per_sample
 
-        def generation(params, states, key, gen_idx):
+            grad_fn = jax.value_and_grad(forward_loss, argnums=1,
+                                         has_aux=True)
+
             k_ask, k_scan = jax.random.split(key)
             ask_keys = jax.random.split(k_ask, m)
             x = jax.vmap(lambda s, k: cma.ask(params_cma, s, k))(
@@ -102,16 +121,12 @@ class BatchedBasinCMAOptimizer:
 
             learn = {"z": z0}
             for name, default in fixed_inputs.items():
-                rep = jnp.repeat(default, pop, axis=0)   # [M*pop, ...]
                 if name in self.learnable_inputs:
-                    learn[name] = rep
+                    learn[name] = jnp.repeat(default, pop, axis=0)
             fixed_rep = {
-                name: jnp.repeat(v, pop, axis=0)
+                name: jax.lax.stop_gradient(jnp.repeat(v, pop, axis=0))
                 for name, v in fixed_inputs.items()
                 if name not in self.learnable_inputs}
-
-            def full_inputs(learn):
-                return {**learn, **fixed_rep}
 
             opt_state = adam.init(learn)
 
@@ -120,8 +135,7 @@ class BatchedBasinCMAOptimizer:
                 i, k = xs
                 if self.hook_fn is not None:
                     learn = {**learn, "z": self.hook_fn(k, learn["z"], i)}
-                (_, per_sample), grads = grad_fn(params, full_inputs(learn))
-                grads = {k2: grads[k2] for k2 in learn}
+                (_, per_sample), grads = grad_fn(params, learn, fixed_rep)
                 updates, opt_state = adam.update(grads, opt_state, learn)
                 learn = optax.apply_updates(learn, updates)
                 return (learn, opt_state), per_sample
@@ -131,7 +145,12 @@ class BatchedBasinCMAOptimizer:
             (learn, opt_state), losses = jax.lax.scan(
                 body, (learn, opt_state), (steps, keys))
 
-            final_loss = losses[-1].reshape(m, pop)
+            # The scan's last ys is the loss BEFORE the final Adam update;
+            # re-evaluate the post-update samples so the CMA tell and the
+            # winner selection score the variables actually returned (the
+            # single-image path's tell_loss has the same semantics).
+            _, per_sample = forward_loss(params, learn, fixed_rep)
+            final_loss = per_sample.reshape(m, pop)
             states = jax.vmap(
                 lambda s, xi, li: cma.tell(params_cma, s, xi, li))(
                     states, x, final_loss)
@@ -159,18 +178,20 @@ class BatchedBasinCMAOptimizer:
         states = jax.tree.map(
             lambda a: jnp.broadcast_to(a, (m, *a.shape)), state0)
 
-        gen_fn = self._build_generation(m, grad_steps, targets, weights,
-                                        fixed_inputs)
+        data = {"targets": targets, "fixed": fixed_inputs}
+        if weights is not None:
+            data["weights"] = jnp.asarray(weights)
+
+        gen_fn = self._build_generation(m, grad_steps)
         for gi in range(meta_steps):
             states, learn, final_loss = gen_fn(
-                self.model.params, states, self._next_key(),
+                self.model.params, data, states, self._next_key(),
                 jnp.asarray(gi, jnp.int32))
 
         # final long generation: ask once more, refine longer, skip the tell
-        final_fn = self._build_generation(m, last_grad_steps, targets,
-                                          weights, fixed_inputs)
+        final_fn = self._build_generation(m, last_grad_steps)
         states_after, learn, final_loss = final_fn(
-            self.model.params, states, self._next_key(),
+            self.model.params, data, states, self._next_key(),
             jnp.asarray(meta_steps, jnp.int32))
 
         loss = np.asarray(final_loss)                    # [M, pop]

@@ -20,11 +20,12 @@ class CMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         _BaseCMAOptimizer.__init__(self)
 
     def optimize(self, meta_steps, grad_steps=0, pbar=None, num_samples=None,
-                 popsize=None):
+                 popsize=None, checkpoint_path=None, checkpoint_every=1):
         """Reference semantics (``cma_optimizer.py:24-93``): ``meta_steps``
         gradient-free CMA generations, then ``grad_steps`` Adam finetune on a
         final ask. ``num_samples`` must be None (fixed by CMA popsize);
-        ``popsize`` overrides the default ``4+floor(3 ln n)``."""
+        ``popsize`` overrides the default ``4+floor(3 ln n)``;
+        ``checkpoint_path`` makes the generation loop crash-safe/resumable."""
         assert num_samples is None, "CMA optimizer has fixed sample size"
 
         self.setup_cma(self.var_manager, popsize=popsize)
@@ -32,8 +33,12 @@ class CMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         total_steps = meta_steps + grad_steps
         timer = Timer()
 
+        from pix2latent_tpu.utils.checkpoint import LoopCheckpointer
+        ckpt = LoopCheckpointer(checkpoint_path, self, "cma_state",
+                                every=checkpoint_every)
+
         # -- gradient-free CMA generations -- #
-        for i in range(meta_steps):
+        for i in range(ckpt.resume(), meta_steps):
             variables = self.cma_init(self.var_manager)
             out, loss = self.core.eval(variables, self.next_key(), i)
             self.out, self.loss = out, loss
@@ -42,6 +47,7 @@ class CMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                 self.log_result(variables, i + 1)
             # tell with a fresh (inverted-frame) loss, as the reference does
             self.cma_update(variables, inverted_loss=True, step=i)
+            ckpt.save(i + 1)
             if pbar is not None:
                 pbar.progress((i + 1) / total_steps)
             elif (i + 1) % self.show_iter == 0:

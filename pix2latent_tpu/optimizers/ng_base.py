@@ -69,12 +69,13 @@ class _BaseNGOptimizer:
         k_init, k_ask = jax.random.split(key)
         variables = var_manager.initialize(num_samples=self.num_samples,
                                            key=k_init)
-        x = self.ng_strategy.ask(self.ng_state, k_ask)
+        x, aux = self.ng_strategy.ask_with_aux(self.ng_state, k_ask)
         var_type, name, shape = self._gf_var
         variables[var_type][name] = x.reshape(self.num_samples, *shape)
         # defensive copy: the reshaped view shares the buffer that the
         # donated grad-scan consumes; the tell needs the original ask
         self._sampled = jnp.array(x, copy=True)
+        self._ask_aux = aux
         return self.core.place(variables)
 
     def ng_update(self, variables, loss=None, inverted_loss=False, step=0):
@@ -84,5 +85,7 @@ class _BaseNGOptimizer:
             loss = self.core.tell_loss(variables, self.next_key(), step,
                                        inverted=inverted_loss)
         self.ng_state = self.ng_strategy.tell(self.ng_state, self._sampled,
-                                              jnp.asarray(loss))
+                                              jnp.asarray(loss),
+                                              aux=getattr(self, "_ask_aux",
+                                                          None))
         return loss

@@ -134,8 +134,12 @@ def tell(params: CMAParams, state: CMAState, x: jax.Array,
     synthetic ridges with Hessian condition >> 1e4) need float64 fitness,
     which image-reconstruction losses never approach.
     """
+    dt = state.mean.dtype   # dtype-polymorphic: f32 in production, f64 in
+    #                         the numerical cross-validation tests — a
+    #                         strong-f32 scalar would silently round every
+    #                         weakly-typed coefficient it multiplies
     order = jnp.argsort(fitness)
-    w = params.weights[jnp.argsort(order)]          # weight per *candidate*
+    w = params.weights.astype(dt)[jnp.argsort(order)]  # weight per candidate
     if y is None:
         y = (x - state.mean[None, :]) / state.sigma  # [λ, n]
 
@@ -152,11 +156,11 @@ def tell(params: CMAParams, state: CMAState, x: jax.Array,
     p_sigma = ((1.0 - cs) * state.p_sigma +
                jnp.sqrt(cs * (2.0 - cs) * mueff) * c_inv_sqrt_yw)
 
-    gen1 = state.gen.astype(jnp.float32) + 1.0
+    gen1 = state.gen.astype(dt) + 1.0
     ps_norm = jnp.linalg.norm(p_sigma)
     denom = jnp.sqrt(1.0 - (1.0 - cs) ** (2.0 * gen1))
     h_sigma = (ps_norm / denom / chi_n <
-               1.4 + 2.0 / (params.n + 1.0)).astype(jnp.float32)
+               1.4 + 2.0 / (params.n + 1.0)).astype(dt)
 
     p_c = ((1.0 - cc) * state.p_c +
            h_sigma * jnp.sqrt(cc * (2.0 - cc) * mueff) * y_w)

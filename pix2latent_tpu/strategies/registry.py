@@ -8,13 +8,40 @@ unlike PyCMA — support an arbitrary population size (``num_samples``):
 
     strategy = registry['CMA'](dim, num_samples, mu, sigma)
     state    = strategy.init(key)
-    x        = strategy.ask(state, key)        # [num_samples, dim]
-    state    = strategy.tell(state, x, loss)   # loss: [num_samples]
+    x, aux   = strategy.ask_with_aux(state, key)      # x: [num_samples, dim]
+    state    = strategy.tell(state, x, loss, aux)     # loss: [num_samples]
     best     = strategy.mean(state)
 
-All are standard published algorithms: CMA-ES, (μ/μ,λ)-ES with cumulative
-step-size (TBPSA-style), (1+λ)-ES with 1/5th-rule, differential evolution
-(DE/rand/1/bin), particle swarm (PSO), and random search.
+``ask(state, key)`` remains for strategies whose tell needs only ``x``; the
+``aux`` channel carries per-candidate sampling metadata (e.g. TBPSA's
+self-adapted sigmas) from ask to tell without impure Python state.
+
+Supported subset vs nevergrad's registry
+----------------------------------------
+
+The reference exposes *every* optimizer in ``ng.optimizers.registry``
+(``base_ng_optimizer.py:33,81-83``) — hundreds of names, most of which are
+parameterizations/portfolios of a few core algorithms. This registry
+implements the core algorithms themselves, faithfully, on device:
+
+========================  ====================================================
+Name                      Algorithm
+========================  ====================================================
+``CMA``                   full CMA-ES (rank-1 + rank-mu, CSA) at free popsize
+``TBPSA``                 nevergrad's Test-Based Population Size Adaptation
+                          ES: per-candidate log-normal sigma self-adaptation,
+                          top-quarter recombination of center AND sigma
+``OnePlusOne``            (1+lambda)-ES with the 1/5th success rule
+``DE``                    differential evolution DE/rand/1/bin
+``TwoPointsDE``           DE with nevergrad's two-points (circular segment)
+                          crossover instead of binomial
+``PSO``                   global-best particle swarm (w=.72, c1=c2=1.49)
+``RandomSearch``          i.i.d. Gaussian sampling, keep the best
+========================  ====================================================
+
+Names outside this table (chaining/portfolio wrappers such as ``NGOpt``,
+budget-scheduled variants, discrete/mixed-integer methods) are intentionally
+not provided — this workload's search space is a fixed-length float vector.
 """
 
 from __future__ import annotations
@@ -42,7 +69,11 @@ class _Base:
     def ask(self, state, key):
         raise NotImplementedError
 
-    def tell(self, state, x, loss):
+    def ask_with_aux(self, state, key):
+        """(x, aux): default for strategies whose tell ignores aux."""
+        return self.ask(state, key), None
+
+    def tell(self, state, x, loss, aux=None):
         raise NotImplementedError
 
     def mean(self, state):
@@ -63,22 +94,23 @@ class CMAStrategy(_Base):
     def ask(self, state, key):
         return cma_mod.ask(self.params, state, key)
 
-    def tell(self, state, x, loss):
+    def tell(self, state, x, loss, aux=None):
         return cma_mod.tell(self.params, state, x, loss)
 
     def mean(self, state):
         return state.mean
 
 
-class _MuState(NamedTuple):
-    mean: jax.Array
-    sigma: jax.Array
-
-
 class TBPSAStrategy(_Base):
-    """Simplified population-based self-adaptation: sample around the mean
-    with per-candidate log-normal sigma mutation; recombine the top half of
-    both mean and sigma (the TBPSA idea of adapting step-size by selection).
+    """Test-Based Population Size Adaptation ES, matching nevergrad's
+    ``_TBPSA`` update rule: each candidate mutates the global step size by a
+    log-normal factor ``exp(N(0,1)/sqrt(d))`` and samples
+    ``x_i = center + sigma_i * N(0, I)``; the tell recombines the top
+    ``mu = max(popsize//4, 1)`` candidates — the new center is their mean and
+    the new sigma is the geometric mean of THEIR self-adapted sigmas (the
+    defining TBPSA trait: step size adapts by selection, not by a success
+    rule). The per-candidate sigmas travel ask->tell via the ``aux`` channel
+    (pure; no Python-side state).
     """
 
     class State(NamedTuple):
@@ -88,22 +120,32 @@ class TBPSAStrategy(_Base):
     def init(self, key):
         return self.State(self.mu0, jnp.asarray(self.sigma0, jnp.float32))
 
-    def ask(self, state, key):
-        k1, k2 = jax.random.split(key)
-        # per-candidate sigma jitter (stored implicitly via reconstruction)
-        logj = 0.3 * jax.random.normal(k1, (self.num_samples, 1))
-        self._last_sigmas = state.sigma * jnp.exp(logj)
-        eps = jax.random.normal(k2, (self.num_samples, self.dim))
-        return state.mean[None] + self._last_sigmas * eps
+    def _sigmas(self, state, key):
+        logj = jax.random.normal(key, (self.num_samples, 1)) \
+            / np.sqrt(self.dim)
+        return state.sigma * jnp.exp(logj)      # [n, 1]
 
-    def tell(self, state, x, loss):
-        k = max(self.num_samples // 2, 1)
+    def ask(self, state, key):
+        return self.ask_with_aux(state, key)[0]
+
+    def ask_with_aux(self, state, key):
+        k1, k2 = jax.random.split(key)
+        sigmas = self._sigmas(state, k1)
+        eps = jax.random.normal(k2, (self.num_samples, self.dim))
+        return state.mean[None] + sigmas * eps, sigmas
+
+    def tell(self, state, x, loss, aux=None):
+        k = max(self.num_samples // 4, 1)
         idx = jnp.argsort(loss)[:k]
         new_mean = jnp.mean(x[idx], axis=0)
-        # recover per-candidate sigmas from distances (robust to external x)
-        d = jnp.linalg.norm(x - state.mean[None], axis=1) / np.sqrt(self.dim)
-        new_sigma = jnp.clip(jnp.mean(d[idx]), 1e-8, 1e8)
-        return self.State(new_mean, new_sigma)
+        if aux is not None:
+            sel = aux.reshape(-1)[idx]
+        else:
+            # aux lost (e.g. external x): recover sigma_i ~= |x_i - mean|/E|N|
+            sel = (jnp.linalg.norm(x[idx] - state.mean[None], axis=1)
+                   / np.sqrt(self.dim))
+        new_sigma = jnp.exp(jnp.mean(jnp.log(jnp.clip(sel, 1e-12, 1e12))))
+        return self.State(new_mean, jnp.clip(new_sigma, 1e-8, 1e8))
 
     def mean(self, state):
         return state.mean
@@ -126,7 +168,7 @@ class OnePlusOneStrategy(_Base):
         eps = jax.random.normal(key, (self.num_samples, self.dim))
         return state.best_x[None] + state.sigma * eps
 
-    def tell(self, state, x, loss):
+    def tell(self, state, x, loss, aux=None):
         i = jnp.argmin(loss)
         improved = loss[i] < state.best_f
         best_x = jnp.where(improved, x[i], state.best_x)
@@ -143,7 +185,8 @@ class OnePlusOneStrategy(_Base):
 
 
 class DEStrategy(_Base):
-    """Differential evolution, DE/rand/1/bin (F=0.8, CR=0.9)."""
+    """Differential evolution, DE/rand/1 with binomial crossover
+    (F=0.8, CR=0.9)."""
     F = 0.8
     CR = 0.9
 
@@ -156,6 +199,10 @@ class DEStrategy(_Base):
             key, (self.num_samples, self.dim))
         return self.State(pop, jnp.full((self.num_samples,), jnp.inf))
 
+    def _crossover(self, key, mutant, pop):
+        cross = jax.random.uniform(key, pop.shape) < self.CR
+        return jnp.where(cross, mutant, pop)
+
     def ask(self, state, key):
         n = self.num_samples
         k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -163,10 +210,9 @@ class DEStrategy(_Base):
         b = jax.random.randint(k2, (n,), 0, n)
         c = jax.random.randint(k3, (n,), 0, n)
         mutant = state.pop[a] + self.F * (state.pop[b] - state.pop[c])
-        cross = jax.random.uniform(k4, (n, self.dim)) < self.CR
-        return jnp.where(cross, mutant, state.pop)
+        return self._crossover(k4, mutant, state.pop)
 
-    def tell(self, state, x, loss):
+    def tell(self, state, x, loss, aux=None):
         better = loss < state.fit
         pop = jnp.where(better[:, None], x, state.pop)
         fit = jnp.where(better, loss, state.fit)
@@ -174,6 +220,26 @@ class DEStrategy(_Base):
 
     def mean(self, state):
         return state.pop[jnp.argmin(state.fit)]
+
+
+class TwoPointsDEStrategy(DEStrategy):
+    """DE with nevergrad's "two-points" crossover: the mutant replaces a
+    random circular segment of the parent vector (two cut points drawn
+    uniformly; the segment wraps around the end), instead of per-coordinate
+    binomial crossover. Matches ``ng.optimizers.TwoPointsDE``'s crossover
+    semantics; mutation/selection are inherited DE/rand/1.
+    """
+
+    def _crossover(self, key, mutant, pop):
+        n, d = pop.shape
+        k1, k2 = jax.random.split(key)
+        i1 = jax.random.randint(k1, (n, 1), 0, d)
+        length = jax.random.randint(k2, (n, 1), 1, d)  # >=1 gene crosses
+        pos = jnp.arange(d)[None, :]
+        # circular segment [i1, i1+length) mod d
+        off = jnp.mod(pos - i1, d)
+        cross = off < length
+        return jnp.where(cross, mutant, pop)
 
 
 class PSOStrategy(_Base):
@@ -207,10 +273,9 @@ class PSOStrategy(_Base):
         vel = (self.W * state.vel
                + self.C1 * r1 * (state.pbest - state.pos)
                + self.C2 * r2 * (state.gbest[None] - state.pos))
-        self._last_vel = vel
         return state.pos + vel
 
-    def tell(self, state, x, loss):
+    def tell(self, state, x, loss, aux=None):
         vel = x - state.pos  # reconstruct (ask may be stateless-replayed)
         better = loss < state.pbest_f
         pbest = jnp.where(better[:, None], x, state.pbest)
@@ -238,7 +303,7 @@ class RandomSearchStrategy(_Base):
         return self.mu0[None] + self.sigma0 * jax.random.normal(
             key, (self.num_samples, self.dim))
 
-    def tell(self, state, x, loss):
+    def tell(self, state, x, loss, aux=None):
         i = jnp.argmin(loss)
         best_x = jnp.where(loss[i] < state.best_f, x[i], state.best_x)
         best_f = jnp.minimum(loss[i], state.best_f)
@@ -253,7 +318,7 @@ registry = {
     "TBPSA": TBPSAStrategy,
     "OnePlusOne": OnePlusOneStrategy,
     "DE": DEStrategy,
-    "TwoPointsDE": DEStrategy,     # alias: closest built-in behavior
+    "TwoPointsDE": TwoPointsDEStrategy,
     "PSO": PSOStrategy,
     "RandomSearch": RandomSearchStrategy,
 }

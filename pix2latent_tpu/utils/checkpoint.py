@@ -59,3 +59,49 @@ def _treedef_token(tree):
 
 def checkpoint_exists(path):
     return os.path.exists(path)
+
+
+class LoopCheckpointer:
+    """Crash-safe resume for any ask-eval-tell meta loop.
+
+    Wraps one optimizer attribute holding the strategy state (``cma_state``
+    for the CMA drivers, ``ng_state`` for the registry drivers) plus the
+    driver's RNG key and meta-iteration counter. Every driver exposing
+    ``checkpoint_path=`` delegates here, so resumability is a uniform
+    property of the framework (SURVEY.md §5.3) instead of a BasinCMA-only
+    feature (VERDICT.md round 1, item 9).
+
+    Usage::
+
+        ckpt = LoopCheckpointer(path, opt, "cma_state", every=k)
+        start = ckpt.resume()            # 0 if no checkpoint on disk
+        for i in range(start, n):
+            ...
+            ckpt.save(i + 1)             # no-op unless (i+1) % every == 0
+    """
+
+    def __init__(self, path, optimizer, state_attr: str, every: int = 1):
+        self.path = path
+        self.opt = optimizer
+        self.state_attr = state_attr
+        self.every = max(int(every), 1)
+
+    def _carry(self, meta_iter: int):
+        return {"state": getattr(self.opt, self.state_attr),
+                "key": self.opt._key,
+                "meta_iter": jnp.asarray(meta_iter, jnp.int32)}
+
+    def resume(self) -> int:
+        if not self.path or not checkpoint_exists(self.path):
+            return 0
+        carry = load_checkpoint(self.path, self._carry(0))
+        setattr(self.opt, self.state_attr, carry["state"])
+        self.opt._key = carry["key"]
+        start = int(carry["meta_iter"])
+        from pix2latent_tpu.utils.misc import cprint
+        cprint(f"(checkpoint) resumed at generation {start}", "y")
+        return start
+
+    def save(self, meta_iter: int):
+        if self.path and meta_iter % self.every == 0:
+            save_checkpoint(self.path, self._carry(meta_iter))

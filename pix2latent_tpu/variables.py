@@ -187,30 +187,51 @@ class VariableManager:
         self._key, sub = jax.random.split(self._key)
         return sub
 
-    def initialize(self, num_samples: int, key=None) -> Variables:
+    def initialize(self, num_samples: int, key=None,
+                   defaults: Optional[Dict[str, jax.Array]] = None) -> Variables:
         """Materialize a fresh population (``variable_manager.py:196-240``).
 
         Returns a Variables pytree; unlike the reference no optimizer is
         created here — use :meth:`make_optimizer` once and re-init its state
         per population (BasinCMA re-initializes Adam state every generation
         by re-calling ``optimizer.init``).
+
+        ``defaults``: optional {name: array[shape]} overriding the registered
+        defaults. Jitted programs that call ``initialize`` inside their trace
+        (e.g. the fused BasinCMA generation) MUST pass the defaults through
+        this argument — reading the spec constants from inside a jit embeds
+        the target image into the executable, forcing a full recompile per
+        inversion (the constant-embedding failure mode CLAUDE.md forbids).
         """
         if key is None:
             key = self._next_key()
+        defaults = defaults or {}
         variables: Variables = {}
         names = sorted(self.variable_info)
         keys = jax.random.split(key, max(len(names), 1))
         for k, name in zip(keys, names):
             spec = self.variable_info[name]
-            if spec["default"] is not None:
+            default = defaults.get(name, spec["default"])
+            if default is not None:
+                default = jnp.asarray(default, jnp.float32)
                 data = jnp.broadcast_to(
-                    spec["default"][None], (num_samples, *spec["shape"]))
+                    default[None], (num_samples, *spec["shape"]))
                 data = jnp.asarray(data)
             else:
                 data = spec["distribution"](k, num_samples, spec["shape"])
                 data = jnp.asarray(data, dtype=jnp.float32)
             variables.setdefault(spec["var_type"], {})[name] = data
         return variables
+
+    def defaults(self, var_type: Optional[str] = None) -> Dict[str, jax.Array]:
+        """{name: default} for every registered variable with a default
+        (optionally restricted to one ``var_type``) — the per-problem data
+        a jitted program should receive as ARGUMENTS (see ``initialize``)."""
+        return {
+            name: spec["default"]
+            for name, spec in self.variable_info.items()
+            if spec["default"] is not None
+            and (var_type is None or spec["var_type"] == var_type)}
 
     # ------------------------------------------------------------------ #
     # gradient plumbing                                                  #

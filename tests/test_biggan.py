@@ -169,3 +169,22 @@ class TestConverter:
         v /= np.linalg.norm(v)
         sigma = float((wmat @ v) @ u)
         assert abs(sigma - 1.0) < 1e-3
+
+
+class TestSlicedOutputConv:
+    def test_equals_full_conv_then_slice(self, key):
+        """Slicing the kernel must be bit-identical to conv-then-slice (the
+        HF conv_to_rgb quirk) — this is the profile-guided perf fix that
+        removed the generator's largest tensor write."""
+        from flax import linen as nn
+        from pix2latent_tpu.models.biggan import SlicedOutputConv
+
+        x = jax.random.normal(key, (2, 16, 16, 8))
+        full = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)))
+        params = full.init(jax.random.PRNGKey(1), x)["params"]
+        want = full.apply({"params": params}, x)[..., :3]
+
+        sliced = SlicedOutputConv(features=8, used=3)
+        got = sliced.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)

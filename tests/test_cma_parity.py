@@ -1,0 +1,178 @@
+"""CMA-ES numerical cross-validation against an independent numpy reference.
+
+The reference inherits PyCMA's battle-tested numerics
+(``pix2latent/optimizer/base_cma_optimizer.py:176``); pycma is not
+installable here, so this file transcribes the update equations of Hansen,
+"The CMA Evolution Strategy: A Tutorial" (arXiv:1604.00772, Table 1 /
+eqs. 40-47) into standalone float64 numpy — sharing NO code with
+``pix2latent_tpu.strategies.cma`` — and asserts trajectory agreement
+(mean / sigma / C per generation) when both implementations are fed
+IDENTICAL sampled candidates and fitness values (VERDICT.md round 1, item 5).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pix2latent_tpu.strategies import cma as jax_cma
+
+
+class NumpyCMA:
+    """Hansen's (mu/mu_w, lambda)-CMA-ES, float64 numpy, tutorial notation.
+
+    Written directly from the tutorial's equation set: weighted
+    recombination (eq. 39-41), cumulative step-size adaptation with the
+    Heaviside stall h_sigma (eq. 43, 45), rank-one + rank-mu covariance
+    update (eq. 47), sigma update via the CSA exponential (eq. 44).
+    """
+
+    def __init__(self, mean, sigma, popsize):
+        self.n = len(mean)
+        self.lam = popsize
+        self.mu = popsize // 2
+        w = np.log((popsize + 1) / 2.0) - np.log(np.arange(1, self.mu + 1))
+        self.w = w / w.sum()                       # positive weights only
+        self.mueff = 1.0 / np.sum(self.w ** 2)
+
+        n = float(self.n)
+        self.cc = (4 + self.mueff / n) / (n + 4 + 2 * self.mueff / n)
+        self.cs = (self.mueff + 2) / (n + self.mueff + 5)
+        self.c1 = 2 / ((n + 1.3) ** 2 + self.mueff)
+        self.cmu = min(1 - self.c1,
+                       2 * (self.mueff - 2 + 1 / self.mueff)
+                       / ((n + 2) ** 2 + self.mueff))
+        self.damps = (1 + 2 * max(0.0, math.sqrt((self.mueff - 1) / (n + 1))
+                                  - 1) + self.cs)
+        self.chi_n = math.sqrt(n) * (1 - 1 / (4 * n) + 1 / (21 * n * n))
+
+        self.mean = np.asarray(mean, np.float64).copy()
+        self.sigma = float(sigma)
+        self.C = np.eye(self.n)
+        self.p_sigma = np.zeros(self.n)
+        self.p_c = np.zeros(self.n)
+        self.gen = 0
+
+    def tell(self, x, fitness):
+        order = np.argsort(fitness)
+        y = (x[order[:self.mu]] - self.mean[None, :]) / self.sigma
+        y_w = self.w @ y                                      # eq. 41
+
+        # C^{-1/2} via eigendecomposition of the CURRENT C
+        evals, B = np.linalg.eigh(self.C)
+        D = np.sqrt(np.maximum(evals, 1e-20))
+        c_inv_sqrt = B @ np.diag(1.0 / D) @ B.T
+
+        self.p_sigma = ((1 - self.cs) * self.p_sigma
+                        + math.sqrt(self.cs * (2 - self.cs) * self.mueff)
+                        * (c_inv_sqrt @ y_w))                 # eq. 43
+        self.gen += 1
+        ps_norm = np.linalg.norm(self.p_sigma)
+        h_sigma = (ps_norm
+                   / math.sqrt(1 - (1 - self.cs) ** (2 * self.gen))
+                   / self.chi_n) < (1.4 + 2 / (self.n + 1))   # eq. 45 cond.
+        h_sigma = float(h_sigma)
+
+        self.p_c = ((1 - self.cc) * self.p_c
+                    + h_sigma * math.sqrt(self.cc * (2 - self.cc)
+                                          * self.mueff) * y_w)  # eq. 45
+
+        rank_mu = sum(wi * np.outer(yi, yi) for wi, yi in zip(self.w, y))
+        delta_h = (1 - h_sigma) * self.cc * (2 - self.cc)
+        self.C = ((1 - self.c1 - self.cmu) * self.C
+                  + self.c1 * (np.outer(self.p_c, self.p_c)
+                               + delta_h * self.C)
+                  + self.cmu * rank_mu)                       # eq. 47
+        self.C = 0.5 * (self.C + self.C.T)
+
+        self.mean = self.mean + self.sigma * y_w              # eq. 42 (cm=1)
+        self.sigma = self.sigma * math.exp(
+            (self.cs / self.damps) * (ps_norm / self.chi_n - 1))  # eq. 44
+
+
+@pytest.mark.parametrize("dim", [4, 16, 128])
+def test_trajectory_matches_numpy_reference(dim):
+    """50 generations on a rugged quadratic, identical candidates fed to
+    both: mean/sigma/C must agree to float64-level tolerance."""
+    rng = np.random.RandomState(dim)
+    popsize = jax_cma.default_popsize(dim)
+    a = rng.randn(dim, dim) / math.sqrt(dim)
+    H = a.T @ a + 0.1 * np.eye(dim)               # anisotropic quadratic
+    x_star = rng.randn(dim)
+
+    def fitness(x):
+        d = x - x_star[None]
+        return np.einsum("ij,jk,ik->i", d, H, d)
+
+    with jax.enable_x64(True):
+        params, state = jax_cma.init(np.zeros(dim), 1.0, popsize)
+        # f64 state (init casts to f32 for TPU use; the parity check wants
+        # both sides in f64 so fp drift can't mask an equation mismatch).
+        # The weights leaf is stored f32 — recompute it at f64 so weight
+        # rounding can't dominate the comparison.
+        state = jax.tree.map(
+            lambda v: v.astype(jnp.float64)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v, state)
+        mu = popsize // 2
+        w64 = np.log((popsize + 1) / 2.0) - np.log(np.arange(1, mu + 1))
+        w64 = w64 / w64.sum()
+        weights64 = np.zeros(popsize)
+        weights64[:mu] = w64
+        params = params._replace(weights=jnp.asarray(weights64))
+        ref = NumpyCMA(np.zeros(dim), 1.0, popsize)
+
+        tell = jax.jit(lambda s, x, f: jax_cma.tell(params, s, x, f))
+
+        for gen in range(50):
+            # sample from the REFERENCE's distribution so both tells see
+            # identical candidates (the jax sampler is irrelevant here)
+            evals, B = np.linalg.eigh(ref.C)
+            D = np.sqrt(np.maximum(evals, 1e-20))
+            z = rng.randn(popsize, dim)
+            x = ref.mean[None] + ref.sigma * (z * D[None]) @ B.T
+            f = fitness(x)
+
+            state = tell(state, jnp.asarray(x), jnp.asarray(f))
+            ref.tell(x, f)
+
+            np.testing.assert_allclose(
+                np.asarray(state.mean), ref.mean, rtol=1e-9, atol=1e-12,
+                err_msg=f"mean diverged at generation {gen}")
+            np.testing.assert_allclose(
+                float(state.sigma), ref.sigma, rtol=1e-9,
+                err_msg=f"sigma diverged at generation {gen}")
+            np.testing.assert_allclose(
+                np.asarray(state.C), ref.C, rtol=1e-8, atol=1e-12,
+                err_msg=f"C diverged at generation {gen}")
+
+
+def test_f32_production_path_tracks_f64_reference():
+    """The shipped f32 state drifts from f64 only by fp error, not by an
+    equation mismatch: after 30 generations the trajectories stay close."""
+    dim, gens = 16, 30
+    rng = np.random.RandomState(0)
+    popsize = jax_cma.default_popsize(dim)
+    x_star = rng.randn(dim)
+
+    def fitness(x):
+        return np.sum((x - x_star[None]) ** 2, axis=1)
+
+    params, state = jax_cma.init(np.zeros(dim), 1.0, popsize)  # f32
+    ref = NumpyCMA(np.zeros(dim), 1.0, popsize)
+    tell = jax.jit(lambda s, x, f: jax_cma.tell(params, s, x, f))
+
+    for gen in range(gens):
+        evals, B = np.linalg.eigh(ref.C)
+        D = np.sqrt(np.maximum(evals, 1e-20))
+        z = rng.randn(popsize, dim)
+        x = ref.mean[None] + ref.sigma * (z * D[None]) @ B.T
+        f = fitness(x)
+        state = tell(state, jnp.asarray(x, jnp.float32),
+                     jnp.asarray(f, jnp.float32))
+        ref.tell(x, f)
+
+    np.testing.assert_allclose(np.asarray(state.mean), ref.mean,
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(float(state.sigma), ref.sigma, rtol=5e-3)

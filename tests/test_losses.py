@@ -123,3 +123,78 @@ class TestInvertibility:
         t = jnp.zeros((3, 3))
         out = LF.invertibility_loss(a, ident, t)
         assert jnp.allclose(out, 0.0)
+
+
+class TestPrecomputeProtocol:
+    """The precompute/from_ctx split must be numerically equivalent to the
+    direct call — the execution core relies on it to hoist the target-side
+    work out of the inner scan (VERDICT.md round 1, item 2)."""
+
+    def test_lpips_features_distance_equals_call(self, key):
+        from pix2latent_tpu.losses.lpips import LPIPS
+        a, b = imgs(key, n=3, hw=32)
+        lp = LPIPS(net="alex", spatial=True)
+        direct = lp(a, b)
+        split = lp.distance(a, lp.features(b))
+        assert jnp.allclose(direct, split, atol=0, rtol=0)  # identical ops
+
+    def test_lpips_one_row_target_broadcasts_exactly(self, key):
+        from pix2latent_tpu.losses.lpips import LPIPS
+        a, b = imgs(key, n=3, hw=32)
+        target = b[:1]
+        lp = LPIPS(net="alex", spatial=True)
+        direct = lp(a, jnp.broadcast_to(target, a.shape))
+        split = lp.distance(a, lp.features(target))
+        assert jnp.allclose(direct, split, atol=1e-6)
+
+    @pytest.mark.parametrize("cls_kwargs", [
+        ("ReconstructionLoss", {"loss_type": "l1"}),
+        ("PerceptualLoss", {"net": "alex"}),
+        ("ProjectionLoss", {"lpips_net": "alex", "beta": 10.0}),
+    ])
+    def test_from_ctx_equals_call(self, key, cls_kwargs):
+        name, kwargs = cls_kwargs
+        a, b = imgs(key, n=3, hw=32)
+        w = jnp.ones((1, 32, 32, 3)) * 0.7
+        loss_fn = getattr(LF, name)(**kwargs)
+        direct = loss_fn(a, b[:1], weight=w)
+        ctx = loss_fn.precompute(b[:1], weight=w)
+        split = loss_fn.from_ctx(a, ctx)
+        assert jnp.allclose(direct, split, atol=1e-6)
+
+    def test_grad_scan_with_and_without_precompute_match(self, key):
+        """End-to-end: the fused grad scan must produce the same trajectory
+        whether or not the loss context is hoisted."""
+        from pix2latent_tpu import VariableManager
+        from pix2latent_tpu.core.step import ExecutionCore
+        from pix2latent_tpu.models.toy import make_toy_model
+
+        model = make_toy_model(z_dim=8, res=32)
+        target = jax.random.uniform(jax.random.PRNGKey(7), (32, 32, 3),
+                                    minval=-1, maxval=1)
+        loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=1.0)
+
+        def build():
+            vm = VariableManager(seed=3)
+            vm.register("z", shape=(8,), var_type="input",
+                        learning_rate=0.05)
+            vm.register("target", shape=(32, 32, 3), var_type="output",
+                        requires_grad=False, default=target)
+            return vm, ExecutionCore(model, vm, loss_fn)
+
+        vm1, core1 = build()
+        assert core1._can_precompute()
+        vm2, core2 = build()
+        core2._can_precompute = lambda: False   # force the direct path
+
+        results = []
+        for vm, core in [(vm1, core1), (vm2, core2)]:
+            variables = vm.initialize(6, key=jax.random.PRNGKey(1))
+            opt_state = core.init_opt_state(variables)
+            variables, _, _, ys = core.grad_steps(
+                variables, opt_state, jax.random.PRNGKey(2), 5)
+            results.append((np.asarray(ys["loss"]),
+                            np.asarray(variables["input"]["z"])))
+        np.testing.assert_allclose(results[0][0], results[1][0], rtol=2e-5)
+        np.testing.assert_allclose(results[0][1], results[1][1], rtol=2e-4,
+                                   atol=1e-6)

@@ -138,8 +138,9 @@ class TestBasinCMA:
 
 
 class TestNGOptimizers:
-    @pytest.mark.parametrize("method", ["CMA", "DE", "PSO", "OnePlusOne",
-                                        "TBPSA", "RandomSearch"])
+    @pytest.mark.parametrize("method", ["CMA", "DE", "TwoPointsDE", "PSO",
+                                        "OnePlusOne", "TBPSA",
+                                        "RandomSearch"])
     def test_strategies_improve_on_toy(self, model, target_and_z, method):
         target, _ = target_and_z
         vm = make_vm(target, grad_free=True)
