@@ -270,9 +270,12 @@ class BigGANDeepGenerator(nn.Module):
         cond = jnp.concatenate([z, c], axis=1).astype(self.dtype)
 
         h = nn.Dense(4 * 4 * 16 * ch, dtype=self.dtype, name="gen_z")(cond)
-        # HF reshapes NCHW (4, 4, 16ch in channel-major); keep that layout
-        # contract so converted weights reproduce outputs exactly.
-        h = h.reshape(-1, 16 * ch, 4, 4).transpose(0, 2, 3, 1)
+        # HF views gen_z output as [N, 4, 4, 16ch] — already height/width/
+        # channel ordered ("to be able to use TF weights") — and only then
+        # permutes to NCHW for torch convs. NHWC-native Flax needs just the
+        # view. (Round 1 had reshape(-1, 16ch, 4, 4).transpose — a different
+        # element order; caught by tests/test_biggan_golden.py.)
+        h = h.reshape(-1, 4, 4, 16 * ch)
 
         attn_pos = cfg["attention_position"]
         res = 4
@@ -324,10 +327,12 @@ class BigGAN(FlaxModel):
     def __init__(self, model_version: str = "biggan-deep-256", params=None,
                  pretrained_path: Optional[str] = None,
                  dtype: Any = jnp.float32, seed: int = 0,
-                 remat: bool = False, remat_from_res: int = 0):
+                 remat: bool = False, remat_from_res: int = 0,
+                 channel_width: int = CHANNEL_WIDTH):
         assert model_version in BIGGAN_CONFIGS, model_version
         self.model_version = model_version
         module = BigGANDeepGenerator(model_version=model_version, dtype=dtype,
+                                     channel_width=channel_width,
                                      remat=remat,
                                      remat_from_res=remat_from_res)
         embed_module = ClassEmbeddings()
