@@ -122,7 +122,8 @@ def ask_with_y(params: CMAParams, state: CMAState, key):
 
 
 def tell(params: CMAParams, state: CMAState, x: jax.Array,
-         fitness: jax.Array, y: Optional[jax.Array] = None) -> CMAState:
+         fitness: jax.Array, y: Optional[jax.Array] = None,
+         refresh_eigen: bool = True) -> CMAState:
     """Rank candidates by fitness (lower is better) and update the strategy.
 
     Pass ``y`` (the pre-scale perturbations from :func:`ask_with_y`) to avoid
@@ -178,12 +179,26 @@ def tell(params: CMAParams, state: CMAState, x: jax.Array,
 
     # Refresh the eigendecomposition (n <= 512 here: cheap relative to the
     # generator forward passes, and keeping it per-tell avoids stale-basis
-    # drift without PyCMA's lazy-update bookkeeping).
-    eigvals, B = jnp.linalg.eigh(C)
-    D = jnp.sqrt(jnp.maximum(eigvals, 1e-20))
+    # drift without PyCMA's lazy-update bookkeeping). Pass
+    # ``refresh_eigen=False`` for PyCMA-style lazy updates — the stale (B, D)
+    # are kept and the caller refreshes periodically via
+    # :func:`refresh_eigen` (useful when the tell sits inside a lax.scan,
+    # where eigh lowers poorly on TPU).
+    if refresh_eigen:
+        eigvals, B = jnp.linalg.eigh(C)
+        D = jnp.sqrt(jnp.maximum(eigvals, 1e-20))
+    else:
+        B, D = state.B, state.D
 
     return CMAState(mean=new_mean, sigma=sigma, C=C, B=B, D=D,
                     p_sigma=p_sigma, p_c=p_c, gen=state.gen + 1)
+
+
+def refresh_eigen(state: CMAState) -> CMAState:
+    """Recompute the cached eigendecomposition of C (lazy-update partner of
+    ``tell(..., refresh_eigen=False)``)."""
+    eigvals, B = jnp.linalg.eigh(state.C)
+    return state._replace(B=B, D=jnp.sqrt(jnp.maximum(eigvals, 1e-20)))
 
 
 class CMA:

@@ -102,6 +102,150 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                                    int(w * self.log_resize_factor)))
         self.transform_outs.append(im)
 
+    # -- fused driver (one XLA dispatch per generation) --------------------- #
+
+    def _build_fused_generation(self, grad_steps, meta_steps, with_tell,
+                                ema_beta=0.5, magnitude=1.0,
+                                renormalize=True):
+        """One XLA program per transform-search generation: CMA ask of ``t``
+        + variable propagation (resample z around the EMA of the best z,
+        annealed noise) + warped-target inner Adam scan + inverted-frame
+        tell + CMA update + EMA/candidate tracking. Mirrors the semantics of
+        :meth:`optimize` generation-for-generation; per-problem data
+        (defaults) and all evolving state travel as arguments, so the
+        program caches across inversions.
+        """
+        import optax
+
+        from pix2latent_tpu.strategies import cma
+
+        vm = self.var_manager
+        core = self.core
+        gf_type, gf_name, gf_shape = self._gf_var
+        n = self.num_samples
+        prop_names = list(self.variables_to_propagate)
+
+        def generation(params, defaults, carry, key, gen_idx):
+            cma_state, vp_means, best_loss, best_t = carry
+            k_init, k_ask, k_prop, k_scan, k_tell = jax.random.split(key, 5)
+
+            variables = vm.initialize(num_samples=n, key=k_init,
+                                      defaults=defaults)
+            t = cma.ask(self.cma_params, cma_state, k_ask)
+            variables[gf_type][gf_name] = t.reshape(n, *gf_shape)
+
+            # variable propagation (skipped at gen 0, before any stats)
+            gi = gen_idx.astype(jnp.float32)
+            prop_keys = jax.random.split(k_prop, max(len(prop_names), 1))
+            for pk, name in zip(prop_keys, prop_names):
+                data = variables["input"][name]
+                z_sigma = magnitude * (1.0 - gi / float(meta_steps))
+                noise = jax.random.normal(pk, data.shape, data.dtype)
+                new = vp_means[name][None] + z_sigma * noise
+                if renormalize:
+                    axes = tuple(range(1, new.ndim))
+                    mean = jnp.mean(new, axis=axes, keepdims=True)
+                    std = jnp.std(new, axis=axes, keepdims=True, ddof=1)
+                    new = (new - mean) / (std + 1e-12)
+                variables["input"][name] = jnp.where(gen_idx > 0, new, data)
+
+            variables = core.apply_transforms(variables)
+            variables = core._dedupe_outputs(variables)
+            ctx = core._make_ctx(variables)
+            opt_state = core.init_opt_state(variables)
+
+            def inner(c, xs):
+                variables, opt_state = c
+                i, k = xs
+                variables = vm.apply_hooks(k, variables, i)
+                per_sample, _, grads = core._value_and_grad(
+                    params, variables, ctx)
+                updates, opt_state = core.optimizer.update(
+                    grads, opt_state, variables)
+                variables = optax.apply_updates(variables, updates)
+                return (variables, opt_state), per_sample
+
+            steps = gen_idx * grad_steps + jnp.arange(grad_steps)
+            keys = jax.random.split(k_scan, grad_steps)
+            (variables, opt_state), _ = jax.lax.scan(
+                inner, (variables, opt_state), (steps, keys))
+
+            tell_fn = core._build("tell_loss_raw", inverted=True)
+            loss = tell_fn(params, variables, k_tell,
+                           gen_idx * grad_steps + grad_steps,
+                           defaults=defaults, ctx=ctx)
+            if with_tell:
+                cma_state = cma.tell(self.cma_params, cma_state, t, loss)
+
+            # EMA toward the best-loss sample (init to population mean at
+            # gen 0, as update_propagation_variable_statistic does)
+            best = jnp.argmin(loss)
+            new_vp = {}
+            for name in prop_names:
+                data = variables["input"][name]
+                base = jnp.where(gen_idx > 0, vp_means[name],
+                                 jnp.mean(data, axis=0))
+                new_vp[name] = (1.0 - ema_beta) * base + ema_beta * data[best]
+            vp_means = {**vp_means, **new_vp}
+
+            # candidate tracking (reference transform_optimizer.py:236-239)
+            lmin = jnp.min(loss)
+            improved = lmin < best_loss
+            best_t = jnp.where(improved, t[best], best_t)
+            best_loss = jnp.minimum(lmin, best_loss)
+
+            carry = (cma_state, vp_means, best_loss, best_t)
+            return carry, (variables, loss)
+
+        return jax.jit(generation)
+
+    def optimize_fused(self, meta_steps, grad_steps, last_grad_steps=None,
+                       popsize=None):
+        """Transform search with one XLA dispatch per generation (the
+        treatment :class:`BasinCMAOptimizer.optimize_fused` gives the
+        flagship, VERDICT.md round 1 item 6). No logging/tracking — use
+        :meth:`optimize` for those. Returns ``(variables, results, loss)``
+        with the same structure as :meth:`optimize`."""
+        self.setup_cma(self.var_manager, popsize=popsize)
+        if last_grad_steps is None:
+            last_grad_steps = grad_steps
+        self.losses, self.outs, self.transform_outs = [], [], []
+        gf_type, gf_name, gf_shape = self._gf_var
+        defaults = self.var_manager.defaults()
+
+        gen_fn = self._build_fused_generation(grad_steps, meta_steps,
+                                              with_tell=True)
+        final_fn = self._build_fused_generation(last_grad_steps, meta_steps,
+                                                with_tell=False)
+
+        # vp_means seeded with zeros; gen 0 replaces them with the
+        # population mean before the first EMA step
+        probe = self.var_manager.initialize(1, key=jax.random.PRNGKey(0))
+        vp0 = {name: jnp.zeros(probe["input"][name].shape[1:])
+               for name in self.variables_to_propagate}
+        dim = int(np.prod(gf_shape))
+        carry = (self.cma_state, vp0, jnp.asarray(jnp.inf, jnp.float32),
+                 jnp.zeros((dim,), jnp.float32))
+
+        for gi in range(meta_steps - 1):
+            carry, (variables, loss) = gen_fn(
+                self.model.params, defaults, carry, self.next_key(),
+                jnp.asarray(gi, jnp.int32))
+        carry, (variables, loss) = final_fn(
+            self.model.params, defaults, carry, self.next_key(),
+            jnp.asarray(meta_steps - 1, jnp.int32))
+
+        self.cma_state, self.vp_means, best_loss, best_t = carry
+        self._best_loss = float(best_loss)
+        self._candidate = np.asarray(best_t).reshape(gf_shape)
+        self.loss = np.asarray(loss)
+
+        best = int(jnp.argmin(loss))
+        candidate_out = variables["output"]["target"][best]
+        transform_target = to_grid(np.asarray(variables["output"]["target"]))
+        results = ([None], [transform_target], candidate_out)
+        return variables, results, self.loss
+
     # -- driver (reference transform_optimizer.py:165-255) ----------------- #
 
     def optimize(self, meta_steps, grad_steps, last_grad_steps=None,

@@ -147,3 +147,26 @@ class TestAskTell:
         final, mins = run(state, keys)
         assert float(mins[-1]) < 1e-6
         assert int(final.gen) == 200
+
+
+class TestLazyEigen:
+    def test_lazy_tell_keeps_basis_and_refresh_restores(self, key):
+        from pix2latent_tpu.strategies import cma
+        params, state = cma.init(np.zeros(16), 1.0, 8)
+        x = jax.random.normal(key, (8, 16))
+        f = jnp.sum(x ** 2, axis=1)
+
+        full = cma.tell(params, state, x, f)
+        lazy = cma.tell(params, state, x, f, refresh_eigen=False)
+        # mean/sigma/C identical; basis stale (still the init identity)
+        np.testing.assert_allclose(np.asarray(lazy.mean),
+                                   np.asarray(full.mean), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(lazy.C), np.asarray(full.C),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(lazy.B), np.eye(16), atol=0)
+        # refresh reproduces the eager basis (up to eigvector sign)
+        ref = cma.refresh_eigen(lazy)
+        np.testing.assert_allclose(np.asarray(jnp.abs(ref.B)),
+                                   np.asarray(jnp.abs(full.B)), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ref.D), np.asarray(full.D),
+                                   rtol=1e-5)

@@ -352,3 +352,59 @@ class TestSetupTransformFn:
         fn, t = setup_transform_fn(align=True, weight=jnp.asarray(mask))
         assert t.shape == (1, 3)
         assert float(t[0, 0]) > 0  # positive scale from pre-alignment
+
+
+class TestFusedTransformBasinCMA:
+    def _problem(self):
+        from pix2latent_tpu.models.toy import make_toy_model
+        RES, ZD = 16, 8
+        model = make_toy_model(z_dim=ZD, res=RES, width=16, seed=0)
+        z_true = jax.random.normal(jax.random.PRNGKey(3), (1, ZD))
+        clean = model(z=z_true)
+        true_warp = SpatialTransform(sensitivity=1.0)
+        shifted = true_warp.transform(clean, jnp.asarray([[1.0, 0.4, 0.0]]))[0]
+
+        vm = VariableManager(seed=0)
+        vm.register("z", shape=(ZD,), var_type="input", learning_rate=0.05)
+        vm.register("target", shape=(RES, RES, 3), var_type="output",
+                    requires_grad=False, default=shifted)
+        vm.register("weight", shape=(RES, RES, 3), var_type="output",
+                    requires_grad=False, default=jnp.ones((RES, RES, 3)))
+        vm.register("t", shape=(3,), var_type="transform",
+                    requires_grad=False,
+                    grad_free=(np.array([1.0, 0, 0]), 0.3))
+
+        def loss_fn(out, target, weight):
+            return LF.masked_l1_loss(out, target, weight)
+
+        opt = TransformBasinCMAOptimizer(model, vm, loss_fn)
+        opt.register_transform(SpatialTransform(sensitivity=1.0), "t",
+                               "target")
+        opt.register_transform(SpatialTransform(sensitivity=1.0), "t",
+                               "weight")
+        opt.set_variable_propagation("z")
+        return opt, RES
+
+    def test_fused_alignment_search_recovers_shift(self):
+        """optimize_fused must solve the same alignment problem the unfused
+        driver does (VERDICT.md round 1, item 6)."""
+        opt, RES = self._problem()
+        variables, results, loss = opt.optimize_fused(meta_steps=6,
+                                                      grad_steps=8)
+        candidate = opt.get_candidate()
+        assert candidate is not None and candidate.shape == (3,)
+        assert opt._best_loss < 0.2
+        assert "z" in opt.vp_means
+        outs, targets, candidate_out = results
+        assert candidate_out.shape == (RES, RES, 3)
+        assert np.isfinite(np.asarray(loss)).all()
+
+    def test_fused_quality_matches_unfused(self):
+        """Same budget, independent RNG streams: both drivers should reach
+        comparable alignment quality."""
+        opt1, _ = self._problem()
+        opt1.optimize(meta_steps=5, grad_steps=6)
+        opt2, _ = self._problem()
+        opt2.optimize_fused(meta_steps=5, grad_steps=6)
+        assert opt2._best_loss < max(2.0 * opt1._best_loss, 0.25), (
+            opt1._best_loss, opt2._best_loss)
