@@ -195,6 +195,7 @@ class BatchedBasinCMAOptimizer:
             jnp.asarray(meta_steps, jnp.int32))
 
         loss = np.asarray(final_loss)                    # [M, pop]
+        loss = np.where(np.isfinite(loss), loss, np.inf)  # nan-samples lose
         best = loss.argmin(axis=1)                       # per-image winner
         z_all = np.asarray(learn["z"]).reshape(m, self.popsize, self.z_dim)
         result = {

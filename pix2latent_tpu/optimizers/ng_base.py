@@ -5,6 +5,13 @@ Counterpart of the reference's ``_BaseNevergradOptimizer``
 setup/init/update flow, but the strategy registry is the on-device
 ``pix2latent_tpu.strategies.registry`` — population size is free (unlike
 PyCMA) and the whole ask/eval/tell loop stays on device.
+
+Deliberate deviation: the reference special-cases nevergrad methods flagged
+``no_parallelization`` by asking ONE candidate per step
+(``base_ng_optimizer.py:36-41,100-102``). Serial asks idle a TPU, so that
+mode is not reproduced; inherently-sequential methods are represented by
+batched-λ variants instead (e.g. ``OnePlusOne`` evaluates λ parallel
+mutations per generation with a λ-adjusted 1/5th success rule).
 """
 
 from __future__ import annotations
@@ -84,8 +91,9 @@ class _BaseNGOptimizer:
         if loss is None:
             loss = self.core.tell_loss(variables, self.next_key(), step,
                                        inverted=inverted_loss)
-        self.ng_state = self.ng_strategy.tell(self.ng_state, self._sampled,
-                                              jnp.asarray(loss),
-                                              aux=getattr(self, "_ask_aux",
-                                                          None))
+        from pix2latent_tpu.strategies.cma import sanitize_fitness
+        self.ng_state = self.ng_strategy.tell(
+            self.ng_state, self._sampled,
+            sanitize_fitness(jnp.asarray(loss)),
+            aux=getattr(self, "_ask_aux", None))
         return loss

@@ -121,6 +121,25 @@ def ask_with_y(params: CMAParams, state: CMAState, key):
     return state.mean[None, :] + state.sigma * y, y
 
 
+def sanitize_fitness(fitness: jax.Array) -> jax.Array:
+    """Replace non-finite fitness values with a worse-than-worst penalty.
+
+    Candidates can legitimately produce nan/inf losses (e.g. an alignment
+    search sampling a near-zero scale whose inverse warp divides by ~0 —
+    transform_optimizer inverted tell). One such candidate must lose the
+    ranking, not poison the whole covariance update: nevergrad "cleans"
+    fitness the same way, while PyCMA raises. If the entire generation is
+    non-finite, everything maps to the same penalty and the update
+    degenerates gracefully (stable argsort order).
+    """
+    finite = jnp.isfinite(fitness)
+    neg_inf = jnp.asarray(-jnp.inf, fitness.dtype)
+    worst = jnp.max(jnp.where(finite, fitness, neg_inf))
+    worst = jnp.where(jnp.any(finite), worst, jnp.zeros((), fitness.dtype))
+    penalty = worst + 1e3 * (1.0 + jnp.abs(worst))
+    return jnp.where(finite, fitness, penalty)
+
+
 def tell(params: CMAParams, state: CMAState, x: jax.Array,
          fitness: jax.Array, y: Optional[jax.Array] = None,
          refresh_eigen: bool = True) -> CMAState:
@@ -139,6 +158,7 @@ def tell(params: CMAParams, state: CMAState, x: jax.Array,
     #                         the numerical cross-validation tests — a
     #                         strong-f32 scalar would silently round every
     #                         weakly-typed coefficient it multiplies
+    fitness = sanitize_fitness(fitness)
     order = jnp.argsort(fitness)
     w = params.weights.astype(dt)[jnp.argsort(order)]  # weight per candidate
     if y is None:

@@ -45,7 +45,9 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                                               ema_beta=0.5):
         """EMA toward the best-loss sample's value
         (reference ``transform_optimizer.py:74-108``)."""
-        best = int(np.argmin(np.asarray(loss)))
+        loss = np.asarray(loss)
+        loss = np.where(np.isfinite(loss), loss, np.inf)  # nan-candidates lose
+        best = int(np.argmin(loss))
         for var_name in self.variables_to_propagate:
             if var_name not in variables.get("input", {}):
                 raise RuntimeError(
@@ -178,7 +180,10 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                 cma_state = cma.tell(self.cma_params, cma_state, t, loss)
 
             # EMA toward the best-loss sample (init to population mean at
-            # gen 0, as update_propagation_variable_statistic does)
+            # gen 0, as update_propagation_variable_statistic does). Losses
+            # can be non-finite (near-zero-scale candidates whose inverse
+            # warp divides by ~0) — they must lose, not poison the tracking.
+            loss = jnp.where(jnp.isfinite(loss), loss, jnp.inf)
             best = jnp.argmin(loss)
             new_vp = {}
             for name in prop_names:
@@ -189,7 +194,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             vp_means = {**vp_means, **new_vp}
 
             # candidate tracking (reference transform_optimizer.py:236-239)
-            lmin = jnp.min(loss)
+            lmin = jnp.min(loss)          # finite by the sanitization above
             improved = lmin < best_loss
             best_t = jnp.where(improved, t[best], best_t)
             best_loss = jnp.minimum(lmin, best_loss)
@@ -240,7 +245,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         self._candidate = np.asarray(best_t).reshape(gf_shape)
         self.loss = np.asarray(loss)
 
-        best = int(jnp.argmin(loss))
+        best = int(jnp.argmin(jnp.where(jnp.isfinite(loss), loss, jnp.inf)))
         candidate_out = variables["output"]["target"][best]
         transform_target = to_grid(np.asarray(variables["output"]["target"]))
         results = ([None], [transform_target], candidate_out)
@@ -310,14 +315,15 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
 
             self.update_propagation_variable_statistic(variables, loss)
 
-            lmin = float(jnp.min(loss))
+            loss_f = jnp.where(jnp.isfinite(loss), loss, jnp.inf)
+            lmin = float(jnp.min(loss_f))
             if lmin < self._best_loss:
-                best = int(jnp.argmin(loss))
+                best = int(jnp.argmin(loss_f))
                 self._candidate = np.asarray(
                     variables[gf_type][gf_name][best])
                 self._best_loss = lmin
 
-        best = int(jnp.argmin(loss))
+        best = int(jnp.argmin(jnp.where(jnp.isfinite(loss), loss, jnp.inf)))
         candidate_out = variables["output"]["target"][best]
         self._finalize_tracked()
 

@@ -170,3 +170,32 @@ class TestLazyEigen:
                                    np.asarray(jnp.abs(full.B)), atol=1e-5)
         np.testing.assert_allclose(np.asarray(ref.D), np.asarray(full.D),
                                    rtol=1e-5)
+
+
+class TestFitnessSanitization:
+    def test_nonfinite_candidates_lose_not_poison(self, key):
+        from pix2latent_tpu.strategies import cma
+        params, state = cma.init(np.zeros(8), 1.0, 8)
+        x = jax.random.normal(key, (8, 8))
+        f = jnp.sum(x ** 2, axis=1)
+        f_bad = f.at[2].set(jnp.nan).at[5].set(jnp.inf)
+        new = cma.tell(params, state, x, f_bad)
+        assert np.isfinite(np.asarray(new.mean)).all()
+        assert np.isfinite(float(new.sigma))
+        assert np.isfinite(np.asarray(new.C)).all()
+        # finite candidates unaffected: identical to telling them a penalty
+        worst = float(jnp.max(jnp.where(jnp.isfinite(f_bad), f_bad, -jnp.inf)))
+        pen = worst + 1e3 * (1.0 + abs(worst))
+        f_ref = f_bad.at[2].set(pen).at[5].set(pen)
+        ref = cma.tell(params, state, x, f_ref)
+        np.testing.assert_allclose(np.asarray(new.mean),
+                                   np.asarray(ref.mean), rtol=1e-6)
+
+    def test_all_nonfinite_generation_degrades_gracefully(self, key):
+        from pix2latent_tpu.strategies import cma
+        params, state = cma.init(np.zeros(4), 1.0, 6)
+        x = jax.random.normal(key, (6, 4))
+        f = jnp.full((6,), jnp.nan)
+        new = cma.tell(params, state, x, f)
+        assert np.isfinite(np.asarray(new.mean)).all()
+        assert np.isfinite(float(new.sigma))
