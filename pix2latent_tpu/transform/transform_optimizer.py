@@ -26,6 +26,10 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         _BaseOptimizer.__init__(self, *args, **kwargs)
         _BaseCMAOptimizer.__init__(self)
         self.variables_to_propagate = []
+        self.vp_means = {}
+        # names whose vp_means hold a *real* statistic (vs a zero
+        # placeholder pre-seeded for checkpoint structure stability)
+        self._vp_seeded = set()
 
     # -- variable propagation (reference transform_optimizer.py:53-158) -- #
 
@@ -54,8 +58,9 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                     f"variable propagation is set for {var_name} but no such "
                     "variable was found")
             data = variables["input"][var_name]
-            if var_name not in self.vp_means:
+            if var_name not in self._vp_seeded:
                 self.vp_means[var_name] = jnp.mean(data, axis=0)
+                self._vp_seeded.add(var_name)
             current = data[best]
             self.vp_means[var_name] = (
                 (1.0 - ema_beta) * self.vp_means[var_name] + ema_beta * current)
@@ -71,8 +76,9 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                     f"variable propagation is set for {var_name} but no such "
                     "variable was found")
             data = out["input"][var_name]
-            if var_name not in self.vp_means:
+            if var_name not in self._vp_seeded:
                 self.vp_means[var_name] = jnp.mean(data, axis=0)
+                self._vp_seeded.add(var_name)
             z_sigma = magnitude * (1.0 - curr_iter / float(total_iter))
             noise = jax.random.normal(self.next_key(), data.shape, data.dtype)
             new = self.vp_means[var_name][None] + z_sigma * noise
@@ -254,10 +260,16 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
     # -- driver (reference transform_optimizer.py:165-255) ----------------- #
 
     def optimize(self, meta_steps, grad_steps, last_grad_steps=None,
-                 pbar=None, popsize=None):
+                 pbar=None, popsize=None, checkpoint_path=None,
+                 checkpoint_every=1):
         """meta_steps CMA generations over the transform parameter; each
         generation re-optimizes the latent with ``grad_steps`` Adam updates
         (``last_grad_steps`` on the final generation, default=grad_steps).
+
+        ``checkpoint_path`` makes the search crash-safe/resumable: the CMA
+        carry plus the propagation EMA and best-candidate tracking are
+        written there every ``checkpoint_every`` generations (SURVEY.md
+        §5.3; uniform with the other meta-loop drivers).
 
         Returns ``(variables, results, loss)`` where results bundles the
         final collage, the warped targets, and the best candidate's target —
@@ -266,20 +278,38 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         self.setup_cma(self.var_manager, popsize=popsize)
         self.losses, self.outs, self.transform_outs = [], [], []
         self._best_loss, self._candidate = np.inf, None
-        self.vp_means = {}
+        self.vp_means, self._vp_seeded = {}, set()
         self.transform_tracked = []
 
         if last_grad_steps is None:
             last_grad_steps = grad_steps
         total_steps = (meta_steps - 1) * grad_steps + last_grad_steps
         timer = Timer()
-        step_count = 0
 
-        gf_type, gf_name, _ = self._gf_var
+        gf_type, gf_name, gf_shape = self._gf_var
         variables = None
         loss = None
 
-        for meta_iter in range(meta_steps):
+        from pix2latent_tpu.utils.checkpoint import LoopCheckpointer
+        if checkpoint_path:
+            # pre-seed extra carry state with structure-stable placeholders
+            # so the checkpoint pytree matches across save/resume
+            probe = self.var_manager.initialize(1, key=jax.random.PRNGKey(0))
+            self.vp_means = {
+                nm: jnp.zeros(probe["input"][nm].shape[1:],
+                              probe["input"][nm].dtype)
+                for nm in self.variables_to_propagate}
+            self._candidate = np.zeros(gf_shape, np.float32)
+        ckpt = LoopCheckpointer(
+            checkpoint_path, self, "cma_state", every=checkpoint_every,
+            extra_attrs=("vp_means", "_best_loss", "_candidate"))
+        start_iter = ckpt.resume()
+        if start_iter > 0:
+            # generation 0 already ran -> every propagated statistic is real
+            self._vp_seeded = set(self.variables_to_propagate)
+        step_count = start_iter * grad_steps
+
+        for meta_iter in range(start_iter, meta_steps):
             is_last = meta_iter + 1 == meta_steps
             n_inner = last_grad_steps if is_last else grad_steps
 
@@ -317,11 +347,14 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
 
             loss_f = jnp.where(jnp.isfinite(loss), loss, jnp.inf)
             lmin = float(jnp.min(loss_f))
-            if lmin < self._best_loss:
+            if lmin < float(self._best_loss):
                 best = int(jnp.argmin(loss_f))
                 self._candidate = np.asarray(
                     variables[gf_type][gf_name][best])
                 self._best_loss = lmin
+
+            if not is_last:
+                ckpt.save(meta_iter + 1)
 
         best = int(jnp.argmin(jnp.where(jnp.isfinite(loss), loss, jnp.inf)))
         candidate_out = variables["output"]["target"][best]

@@ -80,16 +80,25 @@ class LoopCheckpointer:
             ckpt.save(i + 1)             # no-op unless (i+1) % every == 0
     """
 
-    def __init__(self, path, optimizer, state_attr: str, every: int = 1):
+    def __init__(self, path, optimizer, state_attr: str, every: int = 1,
+                 extra_attrs: tuple = ()):
         self.path = path
         self.opt = optimizer
         self.state_attr = state_attr
         self.every = max(int(every), 1)
+        self.extra_attrs = tuple(extra_attrs)
 
     def _carry(self, meta_iter: int):
-        return {"state": getattr(self.opt, self.state_attr),
-                "key": self.opt._key,
-                "meta_iter": jnp.asarray(meta_iter, jnp.int32)}
+        carry = {"state": getattr(self.opt, self.state_attr),
+                 "key": self.opt._key,
+                 "meta_iter": jnp.asarray(meta_iter, jnp.int32)}
+        if self.extra_attrs:
+            # extra driver state (e.g. the transform driver's propagation
+            # EMA + best-candidate tracking); each attribute must hold a
+            # pytree whose structure is stable across the meta loop
+            carry["extra"] = {a: getattr(self.opt, a)
+                              for a in self.extra_attrs}
+        return carry
 
     def resume(self) -> int:
         if not self.path or not checkpoint_exists(self.path):
@@ -97,6 +106,8 @@ class LoopCheckpointer:
         carry = load_checkpoint(self.path, self._carry(0))
         setattr(self.opt, self.state_attr, carry["state"])
         self.opt._key = carry["key"]
+        for a in self.extra_attrs:
+            setattr(self.opt, a, carry["extra"][a])
         start = int(carry["meta_iter"])
         from pix2latent_tpu.utils.misc import cprint
         cprint(f"(checkpoint) resumed at generation {start}", "y")
