@@ -172,8 +172,18 @@ class SelfAttn(nn.Module):
 
 
 def _upsample2x(x):
+    """Nearest-neighbor 2x upsample as broadcast+reshape.
+
+    Exactly equivalent to ``jax.image.resize(..., method="nearest")`` for an
+    integer 2x scale (output rows (2i, 2i+1) both read input row i), but
+    NOT implemented via gather: on TPU the resize gather lowers to serial
+    per-row while-loops of dynamic-update-slices (profiled at ~10% of the
+    whole BasinCMA step, round 2), and its transpose is a scatter. The
+    broadcast lowers to a vectorized copy and its transpose is a reduce-sum.
+    """
     n, h, w, c = x.shape
-    return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="nearest")
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, 2 * h, 2 * w, c)
 
 
 class SlicedOutputConv(nn.Module):
