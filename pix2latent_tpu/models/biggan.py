@@ -160,10 +160,15 @@ class SelfAttn(nn.Module):
         phi = phi.reshape(n, (h // 2) * (w // 2), c // 8)
         g = g.reshape(n, (h // 2) * (w // 2), c // 2)
 
-        attn = jax.nn.softmax(
-            jnp.einsum("nqc,nkc->nqk", theta, phi,
-                       preferred_element_type=jnp.float32), axis=-1)
-        o = jnp.einsum("nqk,nkc->nqc", attn.astype(x.dtype), g)
+        from pix2latent_tpu.ops.attention import (attention_supported,
+                                                  sagan_attention,
+                                                  sagan_attention_reference)
+        if attention_supported(theta, phi, g):
+            # opt-in fused Pallas kernel (PIX2LATENT_FUSED_ATTENTION=1);
+            # measured slower than XLA's einsum fusion — see ops/attention.py
+            o = sagan_attention(theta, phi, g)
+        else:
+            o = sagan_attention_reference(theta, phi, g)
         o = o.reshape(n, h, w, c // 2)
         o = nn.Conv(c, (1, 1), use_bias=False, dtype=self.dtype,
                     name="o_conv")(o)
