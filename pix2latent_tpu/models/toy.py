@@ -34,7 +34,12 @@ class ToyGenerator(nn.Module):
         while size < self.res:
             size *= 2
             n, hh, ww, ch = x.shape
-            x = jax.image.resize(x, (n, size, size, ch), "nearest")
+            # broadcast+reshape 2x nearest upsample (same as the BigGAN
+            # blocks: the jax.image.resize gather lowers to serial row
+            # loops on TPU — models/biggan.py::_upsample2x)
+            x = jnp.broadcast_to(x[:, :, None, :, None, :],
+                                 (n, hh, 2, ww, 2, ch)
+                                 ).reshape(n, 2 * hh, 2 * ww, ch)
             x = nn.Conv(self.width, (3, 3), padding="SAME")(x)
             x = nn.relu(x)
         x = nn.Conv(3, (3, 3), padding="SAME")(x)
