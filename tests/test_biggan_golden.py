@@ -150,9 +150,11 @@ def attn_forward(sd, ap, x):
     return x + sd[f"{ap}.gamma"] * o
 
 
-def torch_biggan_forward(sd, version, ch, z, class_onehot, truncation):
+def torch_biggan_forward(sd, version, ch, z, class_onehot, truncation,
+                         class_embed=None):
     cfg = BIGGAN_CONFIGS[version]
-    embed = F.linear(class_onehot, sd["embeddings.weight"])
+    embed = (class_embed if class_embed is not None
+             else F.linear(class_onehot, sd["embeddings.weight"]))
     cond = torch.cat((z, embed), dim=1)
     h = F.linear(cond, sd["generator.gen_z.weight"],
                  sd["generator.gen_z.bias"])
