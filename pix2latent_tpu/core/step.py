@@ -422,6 +422,14 @@ class ExecutionCore:
             return variables
         return shard_variables(variables, self.mesh)
 
+    def place_in_graph(self, variables: Variables) -> Variables:
+        """Trace-safe population-sharding constraint for variables created
+        INSIDE a jitted program (the fused one-dispatch generations)."""
+        if self.mesh is None:
+            return variables
+        from pix2latent_tpu.parallel.mesh import constrain_variables
+        return constrain_variables(variables, self.mesh)
+
     def place_replicated(self, tree):
         if self.mesh is None:
             return tree

@@ -57,6 +57,10 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                                       defaults=defaults)
             x = cma.ask(self.cma_params, state, k_ask)
             variables[var_type][name] = x.reshape(n, *shape)
+            # pin the data-parallel layout before GSPMD propagates the
+            # replicated CMA-state sharding onto the population (no-op
+            # without a mesh)
+            variables = core.place_in_graph(variables)
             variables = core.apply_transforms(variables)
             variables = core._dedupe_outputs(variables)
             ctx = core._make_ctx(variables)

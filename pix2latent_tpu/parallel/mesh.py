@@ -52,6 +52,28 @@ def shard_variables(variables, mesh: Mesh, axis_name: str = POP_AXIS):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), variables)
 
 
+def constrain_variables(variables, mesh: Mesh, axis_name: str = POP_AXIS):
+    """In-graph (trace-safe) counterpart of :func:`shard_variables`.
+
+    The fused one-dispatch generation creates its population INSIDE jit
+    (fresh ``initialize`` + CMA ask), where ``jax.device_put`` can't run and
+    GSPMD would otherwise propagate the replicated sharding of the CMA state
+    onto the whole inner loop. A ``with_sharding_constraint`` on the
+    population pytree pins the data-parallel layout. Leaves whose leading
+    dim isn't divisible by the mesh (e.g. deduped 1-row outputs) are left
+    for GSPMD to place.
+    """
+    sharding = population_sharding(mesh, axis_name)
+    n_dev = mesh.shape[axis_name]
+
+    def constrain(a):
+        if a.ndim >= 1 and a.shape[0] % n_dev == 0:
+            return jax.lax.with_sharding_constraint(a, sharding)
+        return a
+
+    return jax.tree.map(constrain, variables)
+
+
 def pad_population(num_samples: int, mesh: Optional[Mesh],
                    axis_name: str = POP_AXIS) -> int:
     """Round a population size up to a multiple of the mesh axis so every

@@ -157,6 +157,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                     new = (new - mean) / (std + 1e-12)
                 variables["input"][name] = jnp.where(gen_idx > 0, new, data)
 
+            variables = core.place_in_graph(variables)  # no-op without mesh
             variables = core.apply_transforms(variables)
             variables = core._dedupe_outputs(variables)
             ctx = core._make_ctx(variables)

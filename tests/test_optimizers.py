@@ -197,6 +197,22 @@ class TestFusedBasinCMA:
             meta_steps=2, grad_steps=10, last_grad_steps=10)
         assert list(opt._fused_gens) == [10]
 
+    def test_fused_sharded_over_mesh(self, model, target_and_z):
+        """optimize_fused with a mesh: the in-graph sharding constraint
+        (core.place_in_graph) pins the population layout, so the fused
+        one-dispatch generation is also the multi-chip production path."""
+        from pix2latent_tpu.parallel import make_mesh
+        target, _ = target_and_z
+        mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+        vm = make_vm(target, grad_free=True)
+        opt = BasinCMAOptimizer(model, vm, loss_fn, mesh=mesh,
+                                track_variables=False)
+        variables, outs, losses = opt.optimize_fused(
+            meta_steps=4, grad_steps=8, last_grad_steps=20)
+        assert opt.num_samples % 8 == 0  # padded to the mesh
+        final = np.asarray(losses[-1][1]["loss"])
+        assert np.isfinite(final).all() and final.min() < 0.1
+
     def test_fused_returns_reference_convention(self, model, target_and_z):
         target, _ = target_and_z
         vm = make_vm(target, grad_free=True)
