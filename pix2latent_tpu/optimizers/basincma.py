@@ -92,7 +92,7 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         return jax.jit(generation)
 
     def optimize_fused(self, meta_steps, grad_steps, last_grad_steps=300,
-                       popsize=None, progress_every=5):
+                       popsize=None, progress_every=5, active=False):
         """BasinCMA with one XLA dispatch per generation (ask + inner loop +
         tell fused; ~2% faster than ``optimize`` and immune to host jitter).
         No logging/tracking/checkpointing — use ``optimize`` for those.
@@ -102,7 +102,7 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         ``(variables, outs, losses)`` like ``optimize``."""
         from pix2latent_tpu.utils.misc import cprint
 
-        self.setup_cma(self.var_manager, popsize=popsize)
+        self.setup_cma(self.var_manager, popsize=popsize, active=active)
         total_steps = meta_steps * grad_steps + last_grad_steps
         if not hasattr(self, "_fused_gens"):
             self._fused_gens = {}
@@ -140,7 +140,7 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
 
     def optimize(self, meta_steps, grad_steps, last_grad_steps=300,
                  pbar=None, num_samples=None, popsize=None,
-                 checkpoint_path=None, checkpoint_every=1):
+                 checkpoint_path=None, checkpoint_every=1, active=False):
         """Args match the reference (``basincma_optimizer.py:24-35``).
 
         meta_steps: number of CMA updates.
@@ -153,7 +153,7 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         """
         assert num_samples is None, "CMA optimizer has fixed sample size"
 
-        self.setup_cma(self.var_manager, popsize=popsize)
+        self.setup_cma(self.var_manager, popsize=popsize, active=active)
         self.losses, self.outs = [], []
         total_steps = meta_steps * grad_steps + last_grad_steps
         timer = Timer()

@@ -34,10 +34,13 @@ class _BaseCMAOptimizer:
         self._gf_var = None          # (var_type, name, shape)
         self._sampled = None         # last asked candidates [pop, dim]
 
-    def setup_cma(self, var_manager, popsize: Optional[int] = None):
+    def setup_cma(self, var_manager, popsize: Optional[int] = None,
+                  active: bool = False):
         """Initialize CMA for the (single) variable flagged ``grad_free``
         (reference ``base_cma_optimizer.py:28-67``). ``grad_free`` may be
-        True or a ``(mu, sigma)`` tuple seeding the search distribution."""
+        True or a ``(mu, sigma)`` tuple seeding the search distribution.
+        ``active=True`` enables aCMA negative-weight covariance updates
+        (PyCMA's default mode, which the reference inherited)."""
         gf = var_manager.grad_free_variables()
         assert len(gf) == 1, (
             "currently only a single variable can be optimized via CMA "
@@ -60,7 +63,8 @@ class _BaseCMAOptimizer:
             popsize = cma.default_popsize(dim)
         popsize = pad_population(popsize, getattr(self, "mesh", None))
 
-        self.cma_params, self.cma_state = cma.init(mu, sigma, popsize)
+        self.cma_params, self.cma_state = cma.init(mu, sigma, popsize,
+                                                   active=active)
         if getattr(self, "mesh", None) is not None:
             self.cma_state = self.core.place_replicated(self.cma_state)
         self.num_samples = popsize

@@ -20,7 +20,8 @@ class CMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         _BaseCMAOptimizer.__init__(self)
 
     def optimize(self, meta_steps, grad_steps=0, pbar=None, num_samples=None,
-                 popsize=None, checkpoint_path=None, checkpoint_every=1):
+                 popsize=None, checkpoint_path=None, checkpoint_every=1,
+                 active=False):
         """Reference semantics (``cma_optimizer.py:24-93``): ``meta_steps``
         gradient-free CMA generations, then ``grad_steps`` Adam finetune on a
         final ask. ``num_samples`` must be None (fixed by CMA popsize);
@@ -28,7 +29,7 @@ class CMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         ``checkpoint_path`` makes the generation loop crash-safe/resumable."""
         assert num_samples is None, "CMA optimizer has fixed sample size"
 
-        self.setup_cma(self.var_manager, popsize=popsize)
+        self.setup_cma(self.var_manager, popsize=popsize, active=active)
         self.losses, self.outs = [], []
         total_steps = meta_steps + grad_steps
         timer = Timer()

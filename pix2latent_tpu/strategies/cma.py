@@ -10,9 +10,14 @@ program with zero host synchronization.
 
 The algorithm is the standard (μ/μ_w, λ)-CMA-ES with cumulative step-size
 adaptation and rank-1 + rank-μ covariance updates (Hansen, "The CMA Evolution
-Strategy: A Tutorial"). Default population size matches PyCMA's
-``4 + floor(3 ln n)`` so the reference budgets (18 for d=128, 22 for d=512;
-``README.md:74``) are reproduced exactly.
+Strategy: A Tutorial"), plus optional ACTIVE covariance updates
+(``active=True``: negative weights for the worst-ranked candidates,
+tutorial eq. 53) — PyCMA's default mode, which the reference therefore ran.
+Default population size matches PyCMA's ``4 + floor(3 ln n)`` so the
+reference budgets (18 for d=128, 22 for d=512; ``README.md:74``) are
+reproduced exactly. Both modes are cross-validated trajectory-for-trajectory
+against an independent float64 numpy transcription
+(``tests/test_cma_parity.py``).
 """
 
 from __future__ import annotations
@@ -35,7 +40,8 @@ class CMAParams(NamedTuple):
     n: int
     popsize: int
     mu: int
-    weights: jax.Array      # f32[popsize]; zero beyond mu
+    weights: jax.Array      # f32[popsize]; zero (plain) or negative
+    #                         (active) beyond mu
     mueff: float
     cc: float
     cs: float
@@ -43,6 +49,7 @@ class CMAParams(NamedTuple):
     cmu: float
     damps: float
     chi_n: float
+    active: bool = False    # aCMA: negative-weight covariance updates
 
 
 class CMAState(NamedTuple):
@@ -57,15 +64,26 @@ class CMAState(NamedTuple):
     gen: jax.Array          # i32[]    generation counter
 
 
-def make_params(n: int, popsize: Optional[int] = None) -> CMAParams:
+def make_params(n: int, popsize: Optional[int] = None,
+                active: bool = False) -> CMAParams:
+    """Strategy coefficients.
+
+    ``active=True`` enables aCMA (Jastrebski & Arnold 2006; Hansen's
+    tutorial eq. 53: negative recombination weights for the worst-ranked
+    candidates in the rank-μ covariance update). PyCMA — which the
+    reference uses — has active ON by default, so ``active=True``
+    reproduces the upstream *default* behavior; ``active=False`` is the
+    plain tutorial algorithm the f64 cross-validation was originally
+    written against. Mean/step-size adaptation are identical in both.
+    """
     if popsize is None:
         popsize = default_popsize(n)
     popsize = int(popsize)
     assert popsize >= 2, "CMA-ES needs popsize >= 2"
     mu = popsize // 2
 
-    w = np.log((popsize + 1) / 2.0) - np.log(np.arange(1, mu + 1))
-    w = w / w.sum()
+    w_raw = np.log((popsize + 1) / 2.0) - np.log(np.arange(1, popsize + 1))
+    w = w_raw[:mu] / w_raw[:mu].sum()
     mueff = float(1.0 / np.sum(w ** 2))
     weights = np.zeros(popsize, dtype=np.float32)
     weights[:mu] = w
@@ -79,17 +97,28 @@ def make_params(n: int, popsize: Optional[int] = None) -> CMAParams:
     damps = 1.0 + 2.0 * max(0.0, math.sqrt((mueff - 1.0) / (nf + 1.0)) - 1.0) + cs
     chi_n = math.sqrt(nf) * (1.0 - 1.0 / (4.0 * nf) + 1.0 / (21.0 * nf ** 2))
 
+    if active:
+        # negative weights, scaled per the tutorial's eq. 53 guards
+        w_neg = w_raw[mu:]                           # negative tail
+        mueff_neg = float(w_neg.sum() ** 2 / np.sum(w_neg ** 2))
+        a_mu = 1.0 + c1 / cmu
+        a_mueff = 1.0 + 2.0 * mueff_neg / (mueff + 2.0)
+        a_posdef = (1.0 - c1 - cmu) / (nf * cmu)
+        scale = min(a_mu, a_mueff, a_posdef) / abs(w_neg.sum())
+        weights[mu:] = (w_neg * scale).astype(np.float32)
+
     return CMAParams(n=int(n), popsize=popsize, mu=mu,
                      weights=jnp.asarray(weights),
                      mueff=mueff, cc=cc, cs=cs, c1=c1, cmu=cmu,
-                     damps=damps, chi_n=chi_n)
+                     damps=damps, chi_n=chi_n, active=bool(active))
 
 
-def init(mean, sigma: float = 1.0, popsize: Optional[int] = None):
+def init(mean, sigma: float = 1.0, popsize: Optional[int] = None,
+         active: bool = False):
     """Build (params, state) for a search centered at ``mean`` with step ``sigma``."""
     mean = jnp.asarray(mean, jnp.float32).reshape(-1)
     n = mean.shape[0]
-    params = make_params(n, popsize)
+    params = make_params(n, popsize, active=active)
     eye = jnp.eye(n, dtype=jnp.float32)
     state = CMAState(
         mean=mean,
@@ -164,7 +193,10 @@ def tell(params: CMAParams, state: CMAState, x: jax.Array,
     if y is None:
         y = (x - state.mean[None, :]) / state.sigma  # [λ, n]
 
-    y_w = w @ y                                     # weighted recombination
+    # mean/path recombination always uses the positive weights only (aCMA's
+    # negative weights act exclusively on the covariance, tutorial eq. 53)
+    w_pos = jnp.maximum(w, 0.0)
+    y_w = w_pos @ y                                 # weighted recombination
     new_mean = state.mean + state.sigma * y_w
 
     # C^{-1/2} y_w via the cached eigendecomposition.
@@ -186,9 +218,22 @@ def tell(params: CMAParams, state: CMAState, x: jax.Array,
     p_c = ((1.0 - cc) * state.p_c +
            h_sigma * jnp.sqrt(cc * (2.0 - cc) * mueff) * y_w)
 
-    rank_mu = (y * w[:, None]).T @ y                # Σ w_i y_i y_iᵀ
+    if params.active:
+        # w° (tutorial eq. 53): negative weights rescaled by
+        # n / ||C^{-1/2} y_i||^2 so long steps can't break positive
+        # definiteness; ||C^{-1/2} y||^2 is rotation-invariant, so the
+        # eigen-basis components suffice
+        y_eig = (y @ state.B) * inv_d[None, :]
+        norm2 = jnp.sum(y_eig ** 2, axis=1)
+        w_o = jnp.where(w >= 0.0, w,
+                        w * params.n / jnp.maximum(norm2, 1e-20))
+    else:
+        w_o = w
+    rank_mu = (y * w_o[:, None]).T @ y              # Σ w_i° y_i y_iᵀ
     delta_h = (1.0 - h_sigma) * cc * (2.0 - cc)
-    C = ((1.0 - c1 - cmu) * state.C +
+    # decay uses Σ w_j over ALL weights (== 1 in the plain algorithm)
+    w_sum = jnp.sum(w)
+    C = ((1.0 - c1 - cmu * w_sum) * state.C +
          c1 * (jnp.outer(p_c, p_c) + delta_h * state.C) +
          cmu * rank_mu)
     C = 0.5 * (C + C.T)
@@ -229,10 +274,10 @@ class CMA:
     """
 
     def __init__(self, mu=None, sigma: float = 1.0, seed: Optional[int] = None,
-                 popsize: Optional[int] = None):
+                 popsize: Optional[int] = None, active: bool = False):
         if mu is None:
             mu = np.zeros(128, dtype=np.float32)
-        self.params, self.state = init(mu, sigma, popsize)
+        self.params, self.state = init(mu, sigma, popsize, active=active)
         self._key = jax.random.PRNGKey(0 if seed is None else seed)
         # params is fixed per instance: capture it as a compile-time constant
         # (CMAParams holds an array, so it can't be a static argnum).

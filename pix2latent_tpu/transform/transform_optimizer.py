@@ -212,13 +212,13 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         return jax.jit(generation)
 
     def optimize_fused(self, meta_steps, grad_steps, last_grad_steps=None,
-                       popsize=None):
+                       popsize=None, active=False):
         """Transform search with one XLA dispatch per generation (the
         treatment :class:`BasinCMAOptimizer.optimize_fused` gives the
         flagship, VERDICT.md round 1 item 6). No logging/tracking — use
         :meth:`optimize` for those. Returns ``(variables, results, loss)``
         with the same structure as :meth:`optimize`."""
-        self.setup_cma(self.var_manager, popsize=popsize)
+        self.setup_cma(self.var_manager, popsize=popsize, active=active)
         if last_grad_steps is None:
             last_grad_steps = grad_steps
         self.losses, self.outs, self.transform_outs = [], [], []
@@ -262,7 +262,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
 
     def optimize(self, meta_steps, grad_steps, last_grad_steps=None,
                  pbar=None, popsize=None, checkpoint_path=None,
-                 checkpoint_every=1):
+                 checkpoint_every=1, active=False):
         """meta_steps CMA generations over the transform parameter; each
         generation re-optimizes the latent with ``grad_steps`` Adam updates
         (``last_grad_steps`` on the final generation, default=grad_steps).
@@ -276,7 +276,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         final collage, the warped targets, and the best candidate's target —
         same shape of outputs as the reference.
         """
-        self.setup_cma(self.var_manager, popsize=popsize)
+        self.setup_cma(self.var_manager, popsize=popsize, active=active)
         self.losses, self.outs, self.transform_outs = [], [], []
         self._best_loss, self._candidate = np.inf, None
         self.vp_means, self._vp_seeded = {}, set()

@@ -14,9 +14,10 @@ import pytest
 from pix2latent_tpu.strategies import cma
 
 
-def run_cma(fn, n, gens, sigma=1.0, popsize=None, mean=None, seed=0):
+def run_cma(fn, n, gens, sigma=1.0, popsize=None, mean=None, seed=0,
+            active=False):
     params, state = cma.init(
-        np.zeros(n) if mean is None else mean, sigma, popsize)
+        np.zeros(n) if mean is None else mean, sigma, popsize, active=active)
 
     @jax.jit
     def gen_step(state, key):
@@ -104,6 +105,43 @@ class TestConvergence:
             state = gen_step(state, k)
             sigmas.append(float(state.sigma))
         assert max(sigmas) > 0.5  # grew to cover the distance
+
+
+class TestActiveCMA:
+    """aCMA (PyCMA's default mode) — negative-weight covariance updates.
+    Trajectory-level numerics vs an independent f64 reference live in
+    ``test_cma_parity.py``; here: the option converges and keeps the
+    covariance positive definite (the role of eq. 53's alpha guards)."""
+
+    def test_converges_on_rosenbrock(self):
+        def rosen(x):
+            return jnp.sum(100.0 * (x[:, 1:] - x[:, :-1] ** 2) ** 2
+                           + (1.0 - x[:, :-1]) ** 2, axis=-1)
+        state, best = run_cma(rosen, n=8, gens=400, active=True)
+        assert best < 1e-6
+
+    def test_covariance_stays_positive_definite(self):
+        fn = lambda x: jnp.sum(x ** 2, axis=-1)
+        state, _ = run_cma(fn, n=12, gens=150, active=True)
+        evals = np.linalg.eigvalsh(np.asarray(state.C))
+        assert evals.min() > 0.0
+
+    def test_driver_exposes_active(self):
+        import pix2latent_tpu.loss_functions as LF
+        from pix2latent_tpu import VariableManager
+        from pix2latent_tpu.models.toy import make_toy_model
+        from pix2latent_tpu.optimizers import CMAOptimizer
+        model = make_toy_model(z_dim=4, res=16, width=8, seed=0)
+        target = model(z=jnp.ones((1, 4)))[0]
+        vm = VariableManager(seed=0)
+        vm.register("z", shape=(4,), var_type="input", grad_free=True)
+        vm.register("target", shape=(16, 16, 3), var_type="output",
+                    requires_grad=False, default=target)
+        opt = CMAOptimizer(model, vm,
+                           lambda out, target: LF.l1_loss(out, target))
+        opt.optimize(meta_steps=8, grad_steps=0, active=True)
+        assert bool(opt.cma_params.active)
+        assert float(np.asarray(opt.cma_params.weights).min()) < 0.0
 
 
 class TestAskTell:

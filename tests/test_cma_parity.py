@@ -29,7 +29,7 @@ class NumpyCMA:
     update (eq. 47), sigma update via the CSA exponential (eq. 44).
     """
 
-    def __init__(self, mean, sigma, popsize):
+    def __init__(self, mean, sigma, popsize, active=False):
         self.n = len(mean)
         self.lam = popsize
         self.mu = popsize // 2
@@ -48,6 +48,19 @@ class NumpyCMA:
                                   - 1) + self.cs)
         self.chi_n = math.sqrt(n) * (1 - 1 / (4 * n) + 1 / (21 * n * n))
 
+        self.active = bool(active)
+        if active:
+            # aCMA negative weights (tutorial eq. 53 + its three alpha
+            # guards), for the worst lambda - mu candidates
+            w_raw = np.log((popsize + 1) / 2.0) - np.log(
+                np.arange(1, popsize + 1))
+            wn = w_raw[self.mu:]
+            mueff_neg = wn.sum() ** 2 / np.sum(wn ** 2)
+            alpha = min(1 + self.c1 / self.cmu,
+                        1 + 2 * mueff_neg / (self.mueff + 2),
+                        (1 - self.c1 - self.cmu) / (n * self.cmu))
+            self.w_neg = wn * (alpha / abs(wn.sum()))
+
         self.mean = np.asarray(mean, np.float64).copy()
         self.sigma = float(sigma)
         self.C = np.eye(self.n)
@@ -57,7 +70,8 @@ class NumpyCMA:
 
     def tell(self, x, fitness):
         order = np.argsort(fitness)
-        y = (x[order[:self.mu]] - self.mean[None, :]) / self.sigma
+        y_all = (x[order] - self.mean[None, :]) / self.sigma
+        y = y_all[:self.mu]
         y_w = self.w @ y                                      # eq. 41
 
         # C^{-1/2} via eigendecomposition of the CURRENT C
@@ -80,11 +94,19 @@ class NumpyCMA:
                                           * self.mueff) * y_w)  # eq. 45
 
         rank_mu = sum(wi * np.outer(yi, yi) for wi, yi in zip(self.w, y))
+        w_sum = self.w.sum()
+        if self.active:
+            # eq. 53: negative weights scaled by n / |C^{-1/2} y|^2
+            for wi, yi in zip(self.w_neg, y_all[self.mu:]):
+                nrm2 = float(np.sum((c_inv_sqrt @ yi) ** 2))
+                rank_mu = rank_mu + wi * (self.n / max(nrm2, 1e-20)) \
+                    * np.outer(yi, yi)
+            w_sum = w_sum + self.w_neg.sum()
         delta_h = (1 - h_sigma) * self.cc * (2 - self.cc)
-        self.C = ((1 - self.c1 - self.cmu) * self.C
+        self.C = ((1 - self.c1 - self.cmu * w_sum) * self.C
                   + self.c1 * (np.outer(self.p_c, self.p_c)
                                + delta_h * self.C)
-                  + self.cmu * rank_mu)                       # eq. 47
+                  + self.cmu * rank_mu)                       # eq. 47/53
         self.C = 0.5 * (self.C + self.C.T)
 
         self.mean = self.mean + self.sigma * y_w              # eq. 42 (cm=1)
@@ -92,10 +114,13 @@ class NumpyCMA:
             (self.cs / self.damps) * (ps_norm / self.chi_n - 1))  # eq. 44
 
 
+@pytest.mark.parametrize("active", [False, True],
+                         ids=["plain", "active"])
 @pytest.mark.parametrize("dim", [4, 16, 128])
-def test_trajectory_matches_numpy_reference(dim):
+def test_trajectory_matches_numpy_reference(dim, active):
     """50 generations on a rugged quadratic, identical candidates fed to
-    both: mean/sigma/C must agree to float64-level tolerance."""
+    both: mean/sigma/C must agree to float64-level tolerance. Covers both
+    the plain tutorial algorithm and aCMA (PyCMA's default mode)."""
     rng = np.random.RandomState(dim)
     popsize = jax_cma.default_popsize(dim)
     a = rng.randn(dim, dim) / math.sqrt(dim)
@@ -107,21 +132,22 @@ def test_trajectory_matches_numpy_reference(dim):
         return np.einsum("ij,jk,ik->i", d, H, d)
 
     with jax.enable_x64(True):
-        params, state = jax_cma.init(np.zeros(dim), 1.0, popsize)
+        params, state = jax_cma.init(np.zeros(dim), 1.0, popsize,
+                                     active=active)
         # f64 state (init casts to f32 for TPU use; the parity check wants
         # both sides in f64 so fp drift can't mask an equation mismatch).
         # The weights leaf is stored f32 — recompute it at f64 so weight
-        # rounding can't dominate the comparison.
+        # rounding can't dominate the comparison (the reference object
+        # derives the SAME weights independently in f64).
         state = jax.tree.map(
             lambda v: v.astype(jnp.float64)
             if jnp.issubdtype(v.dtype, jnp.floating) else v, state)
-        mu = popsize // 2
-        w64 = np.log((popsize + 1) / 2.0) - np.log(np.arange(1, mu + 1))
-        w64 = w64 / w64.sum()
+        ref = NumpyCMA(np.zeros(dim), 1.0, popsize, active=active)
         weights64 = np.zeros(popsize)
-        weights64[:mu] = w64
+        weights64[:ref.mu] = ref.w
+        if active:
+            weights64[ref.mu:] = ref.w_neg
         params = params._replace(weights=jnp.asarray(weights64))
-        ref = NumpyCMA(np.zeros(dim), 1.0, popsize)
 
         tell = jax.jit(lambda s, x, f: jax_cma.tell(params, s, x, f))
 
@@ -146,6 +172,24 @@ def test_trajectory_matches_numpy_reference(dim):
             np.testing.assert_allclose(
                 np.asarray(state.C), ref.C, rtol=1e-8, atol=1e-12,
                 err_msg=f"C diverged at generation {gen}")
+
+
+@pytest.mark.parametrize("active", [False, True], ids=["plain", "active"])
+@pytest.mark.parametrize("dim", [3, 16, 128, 512])
+def test_weight_derivation_matches_reference(dim, active):
+    """make_params' (f32) weights — including the aCMA negative tail and
+    its three alpha guards — agree with the independent f64 derivation."""
+    popsize = jax_cma.default_popsize(dim)
+    params = jax_cma.make_params(dim, popsize, active=active)
+    ref = NumpyCMA(np.zeros(dim), 1.0, popsize, active=active)
+    want = np.zeros(popsize)
+    want[:ref.mu] = ref.w
+    if active:
+        want[ref.mu:] = ref.w_neg
+        assert float(np.asarray(params.weights).min()) < 0.0
+    np.testing.assert_allclose(np.asarray(params.weights), want,
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(params.mueff, ref.mueff, rtol=1e-6)
 
 
 def test_f32_production_path_tracks_f64_reference():
