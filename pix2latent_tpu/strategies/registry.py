@@ -28,6 +28,9 @@ implements the core algorithms themselves, faithfully, on device:
 Name                      Algorithm
 ========================  ====================================================
 ``CMA``                   full CMA-ES (rank-1 + rank-mu, CSA) at free popsize
+``ActiveCMA``             CMA-ES with aCMA negative-weight covariance
+                          updates — what nevergrad's/pycma's ``CMA``
+                          actually runs by default
 ``TBPSA``                 nevergrad's Test-Based Population Size Adaptation
                           ES: per-candidate log-normal sigma self-adaptation,
                           top-quarter recombination of center AND sigma
@@ -99,6 +102,18 @@ class CMAStrategy(_Base):
 
     def mean(self, state):
         return state.mean
+
+
+class ActiveCMAStrategy(CMAStrategy):
+    """CMA-ES with aCMA negative-weight covariance updates — pycma's (and
+    therefore nevergrad-``CMA``'s) default mode; see
+    ``strategies/cma.py::make_params(active=True)``."""
+
+    def __init__(self, dim, num_samples, mu=None, sigma=1.0):
+        _Base.__init__(self, dim, num_samples, mu, sigma)
+        self.params, self._state0 = cma_mod.init(
+            self.mu0, self.sigma0, popsize=max(self.num_samples, 2),
+            active=True)
 
 
 class TBPSAStrategy(_Base):
@@ -315,6 +330,7 @@ class RandomSearchStrategy(_Base):
 
 registry = {
     "CMA": CMAStrategy,
+    "ActiveCMA": ActiveCMAStrategy,
     "TBPSA": TBPSAStrategy,
     "OnePlusOne": OnePlusOneStrategy,
     "DE": DEStrategy,
