@@ -106,10 +106,14 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         total_steps = meta_steps * grad_steps + last_grad_steps
         if not hasattr(self, "_fused_gens"):
             self._fused_gens = {}
-        if grad_steps not in self._fused_gens:
-            self._fused_gens[grad_steps] = \
+        # the traced program embeds cma_params (weights), so the cache key
+        # must cover everything that determines them, not just grad_steps
+        cache_key = (grad_steps, self.cma_params.popsize,
+                     self.cma_params.active)
+        if cache_key not in self._fused_gens:
+            self._fused_gens[cache_key] = \
                 self._build_fused_generation(grad_steps)
-        gen_fn = self._fused_gens[grad_steps]
+        gen_fn = self._fused_gens[cache_key]
         defaults = self.var_manager.defaults()
 
         self.losses, self.outs = [], []

@@ -191,11 +191,17 @@ class TestFusedBasinCMA:
             meta_steps=6, grad_steps=10, last_grad_steps=30)
         final = np.asarray(losses[-1][1]["loss"])
         assert final.min() < 0.05
-        # one compiled generation per grad_steps value, reused across calls
-        assert list(opt._fused_gens) == [10]
+        # one compiled generation per (grad_steps, popsize, active) key,
+        # reused across calls
+        assert len(opt._fused_gens) == 1
         variables2, _, losses2 = opt.optimize_fused(
             meta_steps=2, grad_steps=10, last_grad_steps=10)
-        assert list(opt._fused_gens) == [10]
+        assert len(opt._fused_gens) == 1
+        # a different CMA mode must NOT reuse the traced program (the
+        # weights are embedded as constants)
+        opt.optimize_fused(meta_steps=1, grad_steps=10, last_grad_steps=10,
+                           active=True)
+        assert len(opt._fused_gens) == 2
 
     def test_fused_sharded_over_mesh(self, model, target_and_z):
         """optimize_fused with a mesh: the in-graph sharding constraint
