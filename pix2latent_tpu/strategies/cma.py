@@ -231,8 +231,9 @@ def tell(params: CMAParams, state: CMAState, x: jax.Array,
         w_o = w
     rank_mu = (y * w_o[:, None]).T @ y              # Σ w_i° y_i y_iᵀ
     delta_h = (1.0 - h_sigma) * cc * (2.0 - cc)
-    # decay uses Σ w_j over ALL weights (== 1 in the plain algorithm)
-    w_sum = jnp.sum(w)
+    # decay uses Σ w_j over ALL weights — exactly 1 in the plain algorithm
+    # (kept literal so the default path stays bit-identical)
+    w_sum = jnp.sum(w) if params.active else 1.0
     C = ((1.0 - c1 - cmu * w_sum) * state.C +
          c1 * (jnp.outer(p_c, p_c) + delta_h * state.C) +
          cmu * rank_mu)
