@@ -49,6 +49,9 @@ def base_parser(desc, model="biggan"):
     p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--smoke", action="store_true",
                    help="tiny budgets for a fast sanity run")
+    p.add_argument("--active_cma", action="store_true",
+                   help="aCMA negative-weight covariance updates (pycma's "
+                        "default mode, which the reference ran)")
     if model == "stylegan2":
         p.add_argument("--model", type=str, default="cars",
                        choices=["cars", "ffhq"])

@@ -32,7 +32,7 @@ def main():
         meta, grad, last = 30, 30, 300
     variables, outs, losses = opt.optimize(
         meta_steps=meta, grad_steps=grad, last_grad_steps=last,
-        checkpoint_path=args.resume)
+        checkpoint_path=args.resume, active=args.active_cma)
     finish(args, opt, variables, outs, losses,
            "./results/biggan_256/basincma")
 

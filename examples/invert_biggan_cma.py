@@ -23,7 +23,8 @@ def main():
     opt = CMAOptimizer(model, vm, make_loss(args), log=args.make_video, max_batch_size=args.max_minibatch)
 
     meta, grad = (5, 10) if args.smoke else (200, 300)
-    variables, outs, losses = opt.optimize(meta_steps=meta, grad_steps=grad)
+    variables, outs, losses = opt.optimize(meta_steps=meta, grad_steps=grad,
+                                           active=args.active_cma)
     finish(args, opt, variables, outs, losses, "./results/biggan_256/cma")
 
 

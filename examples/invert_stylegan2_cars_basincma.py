@@ -32,7 +32,8 @@ def main():
     else:
         meta, grad, last = 30, 30, 300
     variables, outs, losses = opt.optimize(meta_steps=meta, grad_steps=grad,
-                                           last_grad_steps=last)
+                                           last_grad_steps=last,
+                                           active=args.active_cma)
     finish(args, opt, variables, outs, losses,
            f"./results/stylegan2_{args.model}/basincma")
 

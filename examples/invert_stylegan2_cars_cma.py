@@ -27,7 +27,8 @@ def main():
     opt.log_resize_factor = 0.5
 
     meta, grad = (3, 8) if args.smoke else (200, 300)
-    variables, outs, losses = opt.optimize(meta_steps=meta, grad_steps=grad)
+    variables, outs, losses = opt.optimize(meta_steps=meta, grad_steps=grad,
+                                           active=args.active_cma)
     finish(args, opt, variables, outs, losses,
            f"./results/stylegan2_{args.model}/cma")
 
