@@ -67,6 +67,103 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
         _BaseOptimizer.__init__(self, *args, **kwargs)
         _BaseNGOptimizer.__init__(self, method=method)
 
+    def _build_fused_generation(self, grad_steps):
+        """One XLA program per generation (ask + inner Adam scan +
+        inverted-frame tell + strategy update) — the treatment
+        ``BasinCMAOptimizer._build_fused_generation`` gives the flagship,
+        generalized over the on-device strategy registry (every strategy's
+        ask/tell is a pure function of its state pytree). Per-problem data
+        travels as arguments, so compiled programs cache across inversions."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from pix2latent_tpu.strategies.cma import sanitize_fitness
+
+        vm = self.var_manager
+        core = self.core
+        var_type, name, shape = self._gf_var
+        n = self.num_samples
+        strat = self.ng_strategy
+
+        def generation(params, defaults, state, key, gen_idx):
+            k_init, k_ask, k_scan, k_tell = jax.random.split(key, 4)
+            variables = vm.initialize(num_samples=n, key=k_init,
+                                      defaults=defaults)
+            x, aux = strat.ask_with_aux(state, k_ask)
+            variables[var_type][name] = x.reshape(n, *shape)
+            variables = core.place_in_graph(variables)  # no-op without mesh
+            variables = core.apply_transforms(variables)
+            variables = core._dedupe_outputs(variables)
+            ctx = core._make_ctx(variables)
+            opt_state = core.init_opt_state(variables)
+
+            def inner(c, xs2):
+                variables, opt_state = c
+                i, k = xs2
+                variables = vm.apply_hooks(k, variables, i)
+                per_sample, _, grads = core._value_and_grad(
+                    params, variables, ctx)
+                updates, opt_state = core.optimizer.update(
+                    grads, opt_state, variables)
+                variables = optax.apply_updates(variables, updates)
+                return (variables, opt_state), per_sample
+
+            steps = gen_idx * grad_steps + jnp.arange(grad_steps)
+            keys = jax.random.split(k_scan, grad_steps)
+            (variables, opt_state), _ = jax.lax.scan(
+                inner, (variables, opt_state), (steps, keys))
+
+            tell_fn = core._build("tell_loss_raw", inverted=True)
+            loss = tell_fn(params, variables, k_tell,
+                           gen_idx * grad_steps + grad_steps,
+                           defaults=defaults, ctx=ctx)
+            state = strat.tell(state, x, sanitize_fitness(loss), aux=aux)
+            return state, jnp.min(loss)
+
+        return jax.jit(generation)
+
+    def optimize_fused(self, num_samples, meta_steps, grad_steps,
+                       last_grad_steps=300, progress_every=5):
+        """Hybrid-NG with one XLA dispatch per generation. No
+        logging/tracking/checkpointing — use :meth:`optimize` for those.
+        Returns ``(variables, outs, losses)`` like :meth:`optimize`."""
+        import jax.numpy as jnp
+
+        from pix2latent_tpu.utils.misc import cprint
+
+        self.setup_ng(self.var_manager, num_samples,
+                      budget=meta_steps * num_samples)
+        self.losses, self.outs = [], []
+        total_steps = meta_steps * grad_steps + last_grad_steps
+        gen_fn = self._build_fused_generation(grad_steps)
+        defaults = self.var_manager.defaults()
+
+        state = self.ng_state
+        prev_min = None
+        for gi in range(meta_steps):
+            state, gen_min = gen_fn(self.model.params, defaults, state,
+                                    self.next_key(),
+                                    jnp.asarray(gi, jnp.int32))
+            if progress_every and gi and gi % progress_every == 0 \
+                    and prev_min is not None:
+                cprint(f"(hybrid-{self.method} fused) gen {gi}/{meta_steps} "
+                       f"min tell loss {float(prev_min):.4f}", "c")
+            prev_min = gen_min
+        self.ng_state = state
+
+        # final long generation (skips the tell, reference semantics)
+        variables = self.ng_init(self.var_manager)
+        variables = self.core.apply_transforms(variables)
+        opt_state = self.core.init_opt_state(variables)
+        variables, opt_state, out, ys = self.core.grad_steps(
+            variables, opt_state, self.next_key(), last_grad_steps,
+            start_step=meta_steps * grad_steps, track=False)
+        self.out = out
+        import numpy as np
+        self.loss = np.asarray(ys["loss"][-1])
+        return self._final_results(variables, total_steps)
+
     def optimize(self, num_samples, meta_steps, grad_steps,
                  last_grad_steps=300, pbar=None, checkpoint_path=None,
                  checkpoint_every=1):

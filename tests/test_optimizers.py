@@ -160,6 +160,21 @@ class TestNGOptimizers:
             num_samples=8, meta_steps=4, grad_steps=8, last_grad_steps=20)
         assert losses[-1][1]["loss"].min() < 0.08
 
+    @pytest.mark.parametrize("method,thresh", [("ActiveCMA", 0.08),
+                                               ("TBPSA", 0.2)])
+    def test_hybrid_ng_fused(self, model, target_and_z, method, thresh):
+        """optimize_fused (one XLA dispatch per generation) reaches the
+        same quality class as the host-loop hybrid driver (TBPSA adapts
+        step size by selection only — slower on this tiny budget)."""
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = HybridNevergradOptimizer(method, model, vm, loss_fn,
+                                       track_variables=False)
+        variables, outs, losses = opt.optimize_fused(
+            num_samples=8, meta_steps=4, grad_steps=8, last_grad_steps=20)
+        final = np.asarray(losses[-1][1]["loss"])
+        assert np.isfinite(final).all() and final.min() < thresh
+
     def test_unknown_method_rejected(self, model, target_and_z):
         target, _ = target_and_z
         vm = make_vm(target, grad_free=True)
