@@ -18,8 +18,12 @@ from pix2latent_tpu.utils import image
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--var_path", type=str, required=True,
-                   help="vars.npy from an inversion run")
+    p.add_argument("--var_path", type=str, default=None,
+                   help="vars.npy from an inversion run (required unless "
+                        "--smoke)")
+    p.add_argument("--smoke", action="store_true",
+                   help="offline sanity run: synthesizes a fake inversion "
+                        "result, uses a 128px generator and a tiny PCA")
     p.add_argument("--edit_class", type=int, default=254,
                    help="class index to interpolate toward")
     p.add_argument("--alpha", type=float, default=0.5)
@@ -31,13 +35,33 @@ def main():
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--save_dir", type=str, default="./results/edits")
     args = p.parse_args()
+    if not args.smoke and args.var_path is None:
+        p.error("--var_path is required (or pass --smoke)")
 
     import warnings
+    version = "biggan-deep-128" if args.smoke else "biggan-deep-256"
     from pix2latent_tpu.models.biggan import BigGAN
     with warnings.catch_warnings():
         if not args.checkpoint:
             warnings.simplefilter("ignore")
-        model = BigGAN("biggan-deep-256", pretrained_path=args.checkpoint)
+        model = BigGAN(version, pretrained_path=args.checkpoint)
+
+    if args.smoke and args.var_path is None:
+        # synthesize a plausible inversion result to edit
+        import numpy as np
+        from pix2latent_tpu.variables import save_variables
+        rng = np.random.RandomState(0)
+        variables = {"input": {
+            "z": rng.randn(4, 128).astype(np.float32),
+            "c": np.broadcast_to(
+                np.asarray(model.get_class_embedding(153)),
+                (4, 128)).astype(np.float32)}}
+        args.var_path = osp.join(args.save_dir, "smoke_vars.npy")
+        os.makedirs(args.save_dir, exist_ok=True)
+        save_variables(args.var_path,
+                       variables, extras={"loss": rng.rand(4)})
+        args.pca_samples, args.num_components = 256, 4
+        args.component = min(args.component, 3)
 
     editor = BigGANLatentEditor(model).load_result(args.var_path)
     if args.pca_samples != 12800 or args.num_components != 32:
