@@ -102,6 +102,100 @@ def query_subclass_by_name(name: str, verbose: bool = False):
     return sorted(set(labels))
 
 
+def wnid_str_to_int(str_wnid: str) -> int:
+    """'n02084071' -> 2084071 (reference ``imagenet_tools.py:60-62``)."""
+    return int(str_wnid[1:].lstrip("0"))
+
+
+def wnid_to_noun(wnid: str) -> str:
+    """wnid -> first lemma of its synset (reference
+    ``imagenet_tools.py:65-67``). Falls back to the static class-noun table
+    for ImageNet wnids when the wordnet corpus is unavailable."""
+    try:
+        return wnid_to_synset(wnid).lemmas()[0].name().replace("_", " ")
+    except RuntimeError:
+        table = _meta()["imagenet_wnid_to_label"]
+        if wnid in table:
+            return label_to_noun(int(table[wnid])).split(",")[0]
+        raise
+
+
+def get_parent_wnid(wnid: str) -> str:
+    """wnid -> wnid of its first hypernym (reference
+    ``imagenet_tools.py:40-42``)."""
+    return synset_to_wnid(wnid_to_synset(wnid).hypernyms()[0])
+
+
+def is_hyponym(syn1, syn2) -> bool:
+    """Whether synset ``syn1`` is a descendant of ``syn2`` following first
+    hypernyms (reference ``imagenet_tools.py:70-77``)."""
+    while syn1 != syn2:
+        hypernyms = syn1.hypernyms()
+        if not hypernyms:
+            return False
+        syn1 = hypernyms[0]
+    return True
+
+
+def wnid_depth(wnid: str) -> int:
+    """Depth of the wnid in the (first-parent) hypernym chain (reference
+    ``imagenet_tools.py:80-90``)."""
+    syn = wnid_to_synset(wnid)
+    depth = 0
+    while syn.hypernyms():
+        depth += 1
+        syn = syn.hypernyms()[0]
+    return depth
+
+
+def wnid_statistics(wnid_arr):
+    """Depth statistics over a list of wnids (reference
+    ``imagenet_tools.py:110-121``)."""
+    depth_arr = [wnid_depth(w) for w in wnid_arr]
+    return {"depth_arr": depth_arr,
+            "min_depth": int(np.min(depth_arr)),
+            "max_depth": int(np.max(depth_arr))}
+
+
+def read_synset_file(synset_words_path):
+    """First whitespace token per line of a synset(_words).txt (reference
+    ``imagenet_tools.py:93-100``)."""
+    with open(synset_words_path) as f:
+        return [line.split(" ")[0] for line in f]
+
+
+def read_txt_file(txt_file):
+    """Lines of an imagenet train/val listing (reference
+    ``imagenet_tools.py:103-107``)."""
+    with open(txt_file) as f:
+        return list(f)
+
+
+def _valid_wnids_for(names):
+    wnids = {}
+    for n in names:
+        try:
+            v = query_subclass_by_name(n)
+        except RuntimeError:
+            v = [lbl for lbl, _ in noun_to_labels(n)]
+        if v:
+            wnids[n] = np.sort(np.asarray(v))
+    return wnids
+
+
+def get_coco_valid_wnids():
+    """COCO category -> ImageNet class indices (reference
+    ``imagenet_tools.py:125-131``; returns labels, the working currency
+    here — the reference mixed wnids and labels)."""
+    return _valid_wnids_for(coco_categories())
+
+
+def get_pascal_valid_wnids():
+    """PASCAL category -> ImageNet class indices (reference
+    ``imagenet_tools.py:134-140``)."""
+    return _valid_wnids_for(pascal_categories())
+
+
 def coco_to_imagenet_labels(coco_name: str):
     """COCO/PASCAL category name -> candidate ImageNet class indices
     (reference ``imagenet_tools.py:125-140``): hyponym query when wordnet is

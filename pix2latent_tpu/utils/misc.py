@@ -37,6 +37,19 @@ def to_onehot(idx, num_classes=1000):
     return jnp.asarray(out)
 
 
+def to_numpy(x):
+    """Device array -> host numpy (reference ``misc.py:25-26``'s
+    ``.detach().cpu().numpy()``)."""
+    return np.asarray(x)
+
+
+def prepare_variables(variables, precision="float"):
+    """Cast a list/pytree of arrays to the requested precision and place on
+    the default device (reference ``misc.py:50-56``'s
+    ``[v.half().cuda() for v in vars]``; 'half' means bfloat16 on TPU)."""
+    return jax.device_put(set_model_precision(variables, precision))
+
+
 def set_model_precision(params, precision="float"):
     """Cast a weight pytree: 'half' -> bfloat16 (TPU-native low precision),
     'float' -> float32, 'double' -> float64 (reference ``misc.py:36-56``

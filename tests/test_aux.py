@@ -184,6 +184,61 @@ class TestImagenetTools:
         labels = it.coco_to_imagenet_labels("terrier")
         assert len(labels) > 0
 
+    def test_wnid_str_to_int(self):
+        from pix2latent_tpu.utils import imagenet_tools as it
+        assert it.wnid_str_to_int("n02084071") == 2084071
+
+    def test_wnid_to_noun_fallback(self):
+        from pix2latent_tpu.utils import imagenet_tools as it
+        wnid = it.label_to_wnid(153)
+        noun = it.wnid_to_noun(wnid)   # wordnet or static-table fallback
+        assert isinstance(noun, str) and noun
+
+    def test_file_readers(self, tmp_path):
+        from pix2latent_tpu.utils import imagenet_tools as it
+        p = tmp_path / "synset_words.txt"
+        p.write_text("n01440764 tench, Tinca tinca\nn01443537 goldfish\n")
+        assert it.read_synset_file(p) == ["n01440764", "n01443537"]
+        assert len(it.read_txt_file(p)) == 2
+
+    def test_wordnet_graph_helpers_gated(self):
+        from pix2latent_tpu.utils import imagenet_tools as it
+        wnid = it.label_to_wnid(153)
+        try:
+            depth = it.wnid_depth(wnid)
+            assert depth > 3
+            parent = it.get_parent_wnid(wnid)
+            assert parent.startswith("n") and parent != wnid
+            s = it.wnid_to_synset(wnid)
+            assert it.is_hyponym(s, s)
+            stats = it.wnid_statistics([wnid])
+            assert stats["min_depth"] == stats["max_depth"] == depth
+        except RuntimeError as e:
+            assert "wordnet" in str(e).lower()
+
+    def test_valid_wnids_tables(self):
+        from pix2latent_tpu.utils import imagenet_tools as it
+        wnids = it.get_coco_valid_wnids()
+        assert "dog" in wnids and len(wnids["dog"]) > 0
+
+
+class TestMiscParityHelpers:
+    def test_to_numpy(self, key):
+        import jax
+        from pix2latent_tpu.utils import misc
+        x = jax.numpy.ones((3, 2))
+        out = misc.to_numpy(x)
+        assert isinstance(out, np.ndarray) and out.shape == (3, 2)
+
+    def test_prepare_variables(self):
+        import jax.numpy as jnp
+        from pix2latent_tpu.utils import misc
+        vs = [np.ones((2, 2), np.float32), np.zeros((3,), np.float32)]
+        out = misc.prepare_variables(vs, precision="half")
+        assert all(v.dtype == jnp.bfloat16 for v in out)
+        out = misc.prepare_variables(vs, precision="float")
+        assert all(v.dtype == jnp.float32 for v in out)
+
 
 class TestProjectUtils:
     def test_save_result_bundle(self, tmp_path, key):
