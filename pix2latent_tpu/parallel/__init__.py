@@ -1,3 +1,4 @@
+from pix2latent_tpu.parallel import multihost
 from pix2latent_tpu.parallel.mesh import (
     make_mesh,
     pad_population,
@@ -7,4 +8,4 @@ from pix2latent_tpu.parallel.mesh import (
 )
 
 __all__ = ["make_mesh", "population_sharding", "shard_variables",
-           "replicate", "pad_population"]
+           "replicate", "pad_population", "multihost"]

@@ -4,6 +4,8 @@ The reference had no tests; this suite plays the role of its runnable
 examples (SURVEY.md §4): each driver must actually invert a known target.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -333,3 +335,60 @@ class TestBatchedBasinCMA:
                            meta_steps=3, grad_steps=5, last_grad_steps=20)
         assert res["c"].shape == (2, 4)
         assert float(np.asarray(res["loss"]).max()) < 0.1
+
+
+class TestMultihost:
+    """parallel/multihost.py: jax.distributed wrapper + local-row mapping."""
+
+    def test_topology_single_process(self):
+        from pix2latent_tpu.parallel import multihost
+        info = multihost.topology()
+        assert info["process_count"] == 1
+        assert info["global_devices"] == 8
+
+    def test_local_population_rows_single_process(self):
+        from pix2latent_tpu.parallel import make_mesh, multihost
+        mesh = make_mesh()
+        rows = multihost.local_population_rows(mesh, 24)
+        assert list(rows) == list(range(24))
+        with pytest.raises(AssertionError):
+            multihost.local_population_rows(mesh, 23)  # not divisible
+
+    def test_initialize_multihost_real_coordinator(self):
+        """Run jax.distributed.initialize for real (single-process
+        coordinator) in a subprocess so the main test process stays
+        uninitialized; then shard a population over the global mesh."""
+        import subprocess
+        import sys
+        import textwrap
+
+        code = textwrap.dedent("""
+            import os
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ["XLA_FLAGS"] = \
+                "--xla_force_host_platform_device_count=8"
+            import sys; sys.path.insert(0, %r)
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            from pix2latent_tpu.parallel import (make_mesh, multihost,
+                                                 shard_variables)
+            info = multihost.initialize_multihost(
+                coordinator_address="localhost:12397",
+                num_processes=1, process_id=0)
+            assert info["process_count"] == 1, info
+            assert info["global_devices"] == 8, info
+            # idempotent second call
+            info2 = multihost.initialize_multihost()
+            assert info2 == info
+            mesh = make_mesh()
+            import jax.numpy as jnp
+            vs = {"input": {"z": jnp.arange(24.0).reshape(24, 1)}}
+            vs = shard_variables(vs, mesh)
+            assert float(jnp.sum(vs["input"]["z"])) == sum(range(24))
+            assert list(multihost.local_population_rows(mesh, 24)) == \
+                list(range(24))
+            print("MH_OK")
+        """) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=300)
+        assert "MH_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
