@@ -60,20 +60,24 @@ def main():
         state = opt.cma_state
         state, gen_min = gen_fn(model.params, defaults, state, opt.next_key(),
                                 jnp.asarray(0, jnp.int32))
-        jax.block_until_ready(gen_min)
+        float(gen_min)   # warmup sync: a host value fetch, NOT
+        # block_until_ready — the axon tunnel's block does not reliably
+        # await completion (CLAUDE.md)
 
-        times = []
+        times, span_t0 = [], time.time()
         for i in range(TIMED_GENS):
             t0 = time.time()
             state, gen_min = gen_fn(model.params, defaults, state,
                                     opt.next_key(),
                                     jnp.asarray(i + 1, jnp.int32))
-            jax.block_until_ready(gen_min)
+            jax.block_until_ready(gen_min)   # backpressure diagnostic
             times.append(time.time() - t0)
+        float(gen_min)                       # terminal true sync
+        span = time.time() - span_t0
 
     import numpy as np
     times = np.asarray(times)
-    steps_per_sec = GRAD_STEPS / times.mean()
+    steps_per_sec = GRAD_STEPS / (span / TIMED_GENS)
     print(json.dumps({
         "metric": "StyleGAN2-cars-512 BasinCMA images/sec/chip",
         "value": round(steps_per_sec * POP, 2),
@@ -82,7 +86,7 @@ def main():
         "detail": {"steps_per_sec": round(steps_per_sec, 3),
                    "population": POP,
                    "timed_generations": TIMED_GENS,
-                   "gen_time_mean_s": round(float(times.mean()), 4),
+                   "gen_time_mean_s": round(span / TIMED_GENS, 4),
                    "gen_time_std_s": round(float(times.std()), 4),
                    "compute_dtype": str(BENCH_DTYPE.__name__),
                    "backend": jax.default_backend()},
