@@ -31,6 +31,12 @@ Name                      Algorithm
 ``ActiveCMA``             CMA-ES with aCMA negative-weight covariance
                           updates — what nevergrad's/pycma's ``CMA``
                           actually runs by default
+``DiagonalCMA``           sep-CMA-ES (diagonal covariance, O(d) updates) —
+                          nevergrad's ``DiagonalCMA``; the right trade for
+                          very high-dimensional searches (w+ ~ 10k dims)
+``NGOpt``                 simplified continuous-case selector: sep-CMA for
+                          d>=130, aCMA-ES otherwise (documented stand-in
+                          for nevergrad's portfolio tree)
 ``TBPSA``                 nevergrad's Test-Based Population Size Adaptation
                           ES: per-candidate log-normal sigma self-adaptation,
                           top-quarter recombination of center AND sigma
@@ -42,7 +48,7 @@ Name                      Algorithm
 ``RandomSearch``          i.i.d. Gaussian sampling, keep the best
 ========================  ====================================================
 
-Names outside this table (chaining/portfolio wrappers such as ``NGOpt``,
+Names outside this table (chaining/portfolio wrappers,
 budget-scheduled variants, discrete/mixed-integer methods) are intentionally
 not provided — this workload's search space is a fixed-length float vector.
 """
@@ -114,6 +120,104 @@ class ActiveCMAStrategy(CMAStrategy):
         self.params, self._state0 = cma_mod.init(
             self.mu0, self.sigma0, popsize=max(self.num_samples, 2),
             active=True)
+
+
+class DiagonalCMAStrategy(_Base):
+    """sep-CMA-ES (Ros & Hansen 2008): CMA-ES restricted to a DIAGONAL
+    covariance — O(d) ask/tell instead of O(d^2)+eigh, the right trade for
+    high-dimensional searches (StyleGAN2 w+ flattens to ~10k dims).
+    Counterpart of nevergrad's ``DiagonalCMA`` (pycma ``CMA_diagonal``).
+    Same CSA step-size control and rank-1/rank-mu structure as
+    ``strategies/cma.py``, with the sep-CMA learning-rate boost
+    ``(d+2)/3`` on the covariance rates."""
+
+    class State(NamedTuple):
+        mean: jax.Array      # [d]
+        sigma: jax.Array     # scalar
+        diag_c: jax.Array    # [d] diagonal of C
+        p_sigma: jax.Array   # [d]
+        p_c: jax.Array       # [d]
+        gen: jax.Array       # scalar int
+
+    def __init__(self, dim, num_samples, mu=None, sigma=1.0):
+        super().__init__(dim, num_samples, mu, sigma)
+        d, lam = float(self.dim), self.num_samples
+        k = max(lam // 2, 1)
+        w = np.log(lam / 2.0 + 0.5) - np.log(np.arange(1, k + 1))
+        w = w / w.sum()
+        self._w = jnp.asarray(w, jnp.float32)              # [k]
+        self._k = k
+        mueff = 1.0 / float((w ** 2).sum())
+        self._mueff = mueff
+        self._c_sigma = (mueff + 2.0) / (d + mueff + 5.0)
+        self._d_sigma = (1.0 + 2.0 * max(0.0, np.sqrt((mueff - 1.0)
+                                                      / (d + 1.0)) - 1.0)
+                         + self._c_sigma)
+        self._c_c = (4.0 + mueff / d) / (d + 4.0 + 2.0 * mueff / d)
+        c1 = 2.0 / ((d + 1.3) ** 2 + mueff)
+        cmu = min(1.0 - c1, 2.0 * (mueff - 2.0 + 1.0 / mueff)
+                  / ((d + 2.0) ** 2 + mueff))
+        boost = (d + 2.0) / 3.0                   # sep-CMA rate boost
+        self._c1 = min(1.0, c1 * boost)
+        self._cmu = min(1.0 - self._c1, cmu * boost)
+        self._chi_d = np.sqrt(d) * (1.0 - 1.0 / (4.0 * d)
+                                    + 1.0 / (21.0 * d * d))
+
+    def init(self, key):
+        return self.State(self.mu0, jnp.asarray(self.sigma0, jnp.float32),
+                          jnp.ones(self.dim, jnp.float32),
+                          jnp.zeros(self.dim, jnp.float32),
+                          jnp.zeros(self.dim, jnp.float32),
+                          jnp.asarray(0, jnp.int32))
+
+    def ask(self, state, key):
+        eps = jax.random.normal(key, (self.num_samples, self.dim))
+        return (state.mean[None]
+                + state.sigma * jnp.sqrt(state.diag_c)[None] * eps)
+
+    def tell(self, state, x, loss, aux=None):
+        idx = jnp.argsort(loss)[:self._k]
+        y = (x[idx] - state.mean[None]) / state.sigma      # [k, d]
+        y_w = jnp.einsum("k,kd->d", self._w, y)
+        mean = state.mean + state.sigma * y_w
+
+        # CSA path: C^{-1/2} is elementwise for a diagonal C
+        p_sigma = ((1.0 - self._c_sigma) * state.p_sigma
+                   + np.sqrt(self._c_sigma * (2.0 - self._c_sigma)
+                             * self._mueff)
+                   * y_w / jnp.sqrt(state.diag_c))
+        gen = state.gen + 1
+        norm = jnp.linalg.norm(p_sigma)
+        denom = jnp.sqrt(1.0 - (1.0 - self._c_sigma) ** (2.0 * gen))
+        h_sig = (norm / denom / self._chi_d
+                 < 1.4 + 2.0 / (self.dim + 1.0)).astype(jnp.float32)
+        p_c = ((1.0 - self._c_c) * state.p_c
+               + h_sig * np.sqrt(self._c_c * (2.0 - self._c_c)
+                                 * self._mueff) * y_w)
+        delta_h = (1.0 - h_sig) * self._c_c * (2.0 - self._c_c)
+        diag_c = ((1.0 - self._c1 - self._cmu
+                   + self._c1 * delta_h) * state.diag_c
+                  + self._c1 * p_c ** 2
+                  + self._cmu * jnp.einsum("k,kd->d", self._w, y ** 2))
+        sigma = state.sigma * jnp.exp(
+            (self._c_sigma / self._d_sigma) * (norm / self._chi_d - 1.0))
+        return self.State(mean, jnp.clip(sigma, 1e-12, 1e12),
+                          jnp.clip(diag_c, 1e-12, 1e12), p_sigma, p_c, gen)
+
+    def mean(self, state):
+        return state.mean
+
+
+def NGOptSelector(dim, num_samples, mu=None, sigma=1.0):
+    """Simplified stand-in for nevergrad's ``NGOpt`` portfolio selector,
+    restricted to this workload's regime (continuous, non-noisy,
+    fixed-length float vector, parallel evaluations): high dimension gets
+    sep-CMA (O(d) updates, as NGOpt routes large-d problems to
+    ``DiagonalCMA``), otherwise full aCMA-ES. NOT the full nevergrad
+    decision tree (no discrete/noisy/portfolio branches — out of scope,
+    see the module docstring table)."""
+    cls = DiagonalCMAStrategy if dim >= 130 else ActiveCMAStrategy
+    return cls(dim, num_samples, mu, sigma)
 
 
 class TBPSAStrategy(_Base):
@@ -331,6 +435,8 @@ class RandomSearchStrategy(_Base):
 registry = {
     "CMA": CMAStrategy,
     "ActiveCMA": ActiveCMAStrategy,
+    "DiagonalCMA": DiagonalCMAStrategy,
+    "NGOpt": NGOptSelector,
     "TBPSA": TBPSAStrategy,
     "OnePlusOne": OnePlusOneStrategy,
     "DE": DEStrategy,

@@ -105,3 +105,60 @@ class TestTwoPointsDE:
         x1 = de.ask(state, key)
         x2 = two.ask(two.init(key), key)
         assert not np.allclose(np.asarray(x1), np.asarray(x2))
+
+
+class TestDiagonalCMA:
+    def test_diagonal_variances_adapt_to_scaling(self, key):
+        """On an axis-scaled sphere the learned diagonal must allocate more
+        variance to the flat (low-curvature) coordinate."""
+        from pix2latent_tpu.strategies.registry import registry
+        dim, pop = 6, 16
+        scale = jnp.asarray([30.0, 1.0, 1.0, 1.0, 1.0, 1.0])
+
+        def f(x):
+            return jnp.sum((x * scale[None]) ** 2, axis=-1)
+
+        strat = registry["DiagonalCMA"](dim, pop, sigma=1.0)
+        state = strat.init(key)
+        for g in range(80):
+            key, k = jax.random.split(key)
+            x = strat.ask(state, k)
+            state = strat.tell(state, x, f(x))
+        diag = np.asarray(state.diag_c)
+        # coordinate 0 is 900x more curved -> much smaller sampled variance
+        assert diag[0] * 20 < diag[1:].mean()
+        assert float(f(strat.mean(state)[None])[0]) < 1e-3
+
+    def test_ngopt_routes_by_dimension(self):
+        from pix2latent_tpu.strategies.registry import (
+            ActiveCMAStrategy, DiagonalCMAStrategy, registry)
+        assert isinstance(registry["NGOpt"](8, 12), ActiveCMAStrategy)
+        assert isinstance(registry["NGOpt"](512, 22), DiagonalCMAStrategy)
+
+    def test_highdim_sphere(self, key):
+        """O(d) updates must stay usable at w+-scale dimensions."""
+        from pix2latent_tpu.strategies.registry import registry
+        dim, pop = 512, 22
+        x_star = jnp.asarray(np.random.RandomState(0).randn(dim) * 0.3,
+                             jnp.float32)
+
+        def f(x):
+            return jnp.sum((x - x_star[None]) ** 2, axis=-1)
+
+        strat = registry["DiagonalCMA"](dim, pop, sigma=1.0)
+        state = strat.init(key)
+
+        @jax.jit
+        def gen(state, k):
+            x = strat.ask(state, k)
+            loss = f(x)
+            return strat.tell(state, x, loss), loss
+
+        first = None
+        for g in range(400):
+            key, k = jax.random.split(key)
+            state, loss = gen(state, k)
+            first = first if first is not None else float(loss.min())
+        final = float(f(strat.mean(state)[None])[0])
+        # d=512 needs O(d) generations; 400 gens should cut the sphere hard
+        assert final < 0.1 * first
