@@ -104,7 +104,9 @@ def load_target(args, model, im_size, style=None):
             target = model(z=z, c=c)[0]
         else:
             z = jax.random.normal(jax.random.PRNGKey(1), (1, 512))
-            target = model(z=z)[0]
+            # synthesize through the z path even in w+ search mode (the
+            # w+ forward would need a noise vector)
+            target = model._forward_z(model.params, z)[0]
 
     if args.mask_fp:
         weight = image.read(args.mask_fp, im_size=im_size,
@@ -135,15 +137,32 @@ def register_biggan_vars(vm, model, args, target, weight):
 
 def register_stylegan2_vars(vm, model, args, target, weight, loss_mask=None):
     """The canonical StyleGAN2 registration
-    (reference ``examples/invert_stylegan2_cars_basincma.py:57-96``)."""
+    (reference ``examples/invert_stylegan2_cars_basincma.py:57-96``).
+
+    ``--search w+`` (the wrapper's second mode, reference
+    ``model/stylegan2.py:99-104,122-138``) searches the w latent directly —
+    initialized at the mean latent, no z-space Normalize hook — plus the
+    flattened per-layer noise vector as an Adam-only variable."""
     im = target.shape[0]
-    vm.register("z", shape=(512,), var_type="input",
-                grad_free=getattr(args, "grad_free", False),
-                distribution=dist.Normal(sigma=1.0),
-                learning_rate=args.lr,
-                hook_fn=hooks.Compose(
-                    hooks.Normalize(),
-                    hooks.NormalPerturb(args.latent_noise)))
+    if getattr(args, "search", "z") == "w+":
+        w_mean, w_std = model.latent_stats()
+        vm.register("z", shape=(512,), var_type="input",
+                    grad_free=getattr(args, "grad_free", False),
+                    distribution=dist.Normal(mu=w_mean,
+                                             sigma=0.1 * float(w_std)),
+                    learning_rate=args.lr,
+                    hook_fn=hooks.NormalPerturb(args.latent_noise))
+        vm.register("noises", shape=(model.noise_dim(),), var_type="input",
+                    learning_rate=0.01,
+                    default=jnp.zeros((model.noise_dim(),)))
+    else:
+        vm.register("z", shape=(512,), var_type="input",
+                    grad_free=getattr(args, "grad_free", False),
+                    distribution=dist.Normal(sigma=1.0),
+                    learning_rate=args.lr,
+                    hook_fn=hooks.Compose(
+                        hooks.Normalize(),
+                        hooks.NormalPerturb(args.latent_noise)))
     vm.register("target", shape=(im, im, 3), var_type="output",
                 requires_grad=False, default=target)
     vm.register("weight", shape=(im, im, 3), var_type="output",

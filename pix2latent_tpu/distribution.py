@@ -67,13 +67,17 @@ class TruncatedClampNormal(Distribution):
 
 
 class Normal(Distribution):
-    """Plain ``sigma * N(0, I)`` (reference ``distribution.py:62-78``)."""
+    """``mu + sigma * N(0, I)`` (reference ``distribution.py:62-78``; ``mu``
+    may be a scalar or an array broadcastable to ``shape`` — e.g. a mean
+    latent for w-space search)."""
 
-    def __init__(self, sigma=1.0):
+    def __init__(self, sigma=1.0, mu=0.0):
         self.sigma = float(sigma)
+        self.mu = mu if hasattr(mu, "shape") else float(mu)
 
     def __call__(self, key, num_samples, shape):
-        return self.sigma * jax.random.normal(key, (num_samples, *shape))
+        return (jnp.asarray(self.mu)
+                + self.sigma * jax.random.normal(key, (num_samples, *shape)))
 
     def __repr__(self):
         return f"Normal(sigma={self.sigma})"

@@ -63,3 +63,36 @@ def test_help_exits_zero(script):
         [sys.executable, os.path.join(EXAMPLES, script), "--help"],
         capture_output=True, timeout=240, env=env)
     assert proc.returncode == 0, proc.stderr.decode()[-800:]
+
+
+def test_wplus_registration_shapes():
+    """--search w+ registers the w latent at the mean latent plus the
+    flattened noise vector (the rot this guards: the CLIs exposed
+    --search w+ but never registered 'noises', so the w+ forward crashed)."""
+    import argparse
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, EXAMPLES)
+    from common import register_stylegan2_vars
+    from pix2latent_tpu import VariableManager
+
+    class FakeModel:
+        def latent_stats(self):
+            return jnp.full((512,), 0.25), jnp.asarray(2.0)
+
+        def noise_dim(self):
+            return 96
+
+    args = argparse.Namespace(search="w+", grad_free=False, lr=0.05,
+                              latent_noise=0.05)
+    target = jnp.zeros((64, 64, 3))
+    vm = register_stylegan2_vars(VariableManager(), FakeModel(), args,
+                                 target, jnp.ones_like(target))
+    variables = vm.initialize(num_samples=4)
+    assert variables["input"]["z"].shape == (4, 512)
+    assert variables["input"]["noises"].shape == (4, 96)
+    assert np.allclose(np.asarray(variables["input"]["noises"]), 0.0)
+    # w init clusters near the mean latent (sigma = 0.1 * w_std = 0.2)
+    assert abs(float(variables["input"]["z"].mean()) - 0.25) < 0.05
