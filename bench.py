@@ -109,7 +109,9 @@ def _run_gens(opt, gen_fn, defaults, n_gens, seed, state=None,
     complete before every dispatch has executed, and the one ~25 ms
     tunnel round-trip amortizes to <0.2% over the span. Per-generation
     wall times (dispatch-queue backpressure) are kept as a variance
-    diagnostic. When not timing, generations are left queued (async).
+    diagnostic. Both paths end fully synchronized: the final
+    ``[float(m) for m in mins]`` fetch drains every queued generation (so
+    warmup work cannot bleed into a subsequent timed span).
     """
     if state is None:
         opt.setup_cma(opt.var_manager)   # fresh CMA state

@@ -25,37 +25,41 @@ _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 BENCH_DTYPE = _DTYPES[os.environ.get("PIX2LATENT_BENCH_DTYPE", "bfloat16")]
 
 
+def _build(dtype):
+    """(opt, gen_fn, defaults) for the StyleGAN2-cars BasinCMA problem —
+    shared by this bench and ``scripts/profile_bench.py`` so the profiler
+    always traces exactly the benched program."""
+    import pix2latent_tpu.loss_functions as LF
+    from pix2latent_tpu import VariableManager, hooks
+    from pix2latent_tpu.models.stylegan2 import StyleGAN2
+    from pix2latent_tpu.optimizers import BasinCMAOptimizer
+
+    model = StyleGAN2("cars", search="z", dtype=dtype)
+    loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=10.0, dtype=dtype)
+    im = model.im_res
+
+    vm = VariableManager(seed=0)
+    vm.register("z", shape=(512,), var_type="input", grad_free=True,
+                learning_rate=0.05,
+                hook_fn=hooks.Compose(hooks.Normalize(),
+                                      hooks.NormalPerturb(0.05)))
+    vm.register("target", shape=(im, im, 3), var_type="output",
+                requires_grad=False, default=jnp.zeros((im, im, 3)))
+    vm.register("weight", shape=(im, im, 3), var_type="output",
+                requires_grad=False, default=jnp.ones((im, im, 3)))
+
+    opt = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
+    opt.setup_cma(vm)
+    assert opt.num_samples == POP, opt.num_samples
+    gen_fn = opt._build_fused_generation(GRAD_STEPS)
+    return opt, gen_fn, vm.defaults()
+
+
 def main():
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        import pix2latent_tpu.loss_functions as LF
-        from pix2latent_tpu import VariableManager, hooks
-        from pix2latent_tpu.models.stylegan2 import StyleGAN2
-        from pix2latent_tpu.optimizers import BasinCMAOptimizer
-
-        model = StyleGAN2("cars", search="z", dtype=BENCH_DTYPE)
-        loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=10.0,
-                                    dtype=BENCH_DTYPE)
-        im = model.im_res
-
-        vm = VariableManager(seed=0)
-        vm.register("z", shape=(512,), var_type="input", grad_free=True,
-                    learning_rate=0.05,
-                    hook_fn=hooks.Compose(hooks.Normalize(),
-                                          hooks.NormalPerturb(0.05)))
-        vm.register("target", shape=(im, im, 3), var_type="output",
-                    requires_grad=False, default=jnp.zeros((im, im, 3)))
-        vm.register("weight", shape=(im, im, 3), var_type="output",
-                    requires_grad=False, default=jnp.ones((im, im, 3)))
-
-        opt = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
-        opt.setup_cma(vm)
-        assert opt.num_samples == POP, opt.num_samples
-
-        opt._fused_gens = {GRAD_STEPS:
-                           opt._build_fused_generation(GRAD_STEPS)}
-        gen_fn = opt._fused_gens[GRAD_STEPS]
-        defaults = vm.defaults()
+        opt, gen_fn, defaults = _build(BENCH_DTYPE)
+        model = opt.model
 
         state = opt.cma_state
         state, gen_min = gen_fn(model.params, defaults, state, opt.next_key(),

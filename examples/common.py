@@ -146,8 +146,14 @@ def register_stylegan2_vars(vm, model, args, target, weight, loss_mask=None):
     im = target.shape[0]
     if getattr(args, "search", "z") == "w+":
         w_mean, w_std = model.latent_stats()
+        # gradient-free drivers read their (mu, sigma) seed from a
+        # grad_free TUPLE (a bare True would start CMA at N(0, I), far off
+        # the style-MLP output manifold)
+        gf = getattr(args, "grad_free", False)
+        if gf is True:
+            gf = (np.asarray(w_mean), 0.1 * float(w_std))
         vm.register("z", shape=(512,), var_type="input",
-                    grad_free=getattr(args, "grad_free", False),
+                    grad_free=gf,
                     distribution=dist.Normal(mu=w_mean,
                                              sigma=0.1 * float(w_std)),
                     learning_rate=args.lr,

@@ -80,7 +80,8 @@ class Normal(Distribution):
                 + self.sigma * jax.random.normal(key, (num_samples, *shape)))
 
     def __repr__(self):
-        return f"Normal(sigma={self.sigma})"
+        mu = "array" if hasattr(self.mu, "shape") else self.mu
+        return f"Normal(sigma={self.sigma}, mu={mu})"
 
 
 class Uniform(Distribution):

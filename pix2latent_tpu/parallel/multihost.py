@@ -12,12 +12,14 @@ about the program.
 Usage on each host of a pod slice (or GPU/CPU cluster)::
 
     from pix2latent_tpu.parallel import multihost, make_mesh
-    multihost.initialize_multihost()        # env-driven (TPU: zero args)
+    multihost.initialize_multihost()        # FIRST jax-touching call!
     mesh = make_mesh()                      # global mesh over ALL devices
     ... BasinCMAOptimizer(...).optimize_fused(...)   # unchanged
 
-Every process must run the same program (SPMD); results land replicated, so
-any host can save them.
+``jax.distributed.initialize`` must run before anything initializes the XLA
+backend, so call :func:`initialize_multihost` before any other JAX work.
+Every process runs the same program (SPMD); results land replicated, so any
+host can save them.
 """
 
 from __future__ import annotations
@@ -27,7 +29,21 @@ from typing import Optional
 
 import jax
 
-_initialized = False
+_TPU_POD_ENV_MARKERS = (
+    # set by the TPU runtime/launchers on multi-host slices
+    "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+
+
+def _distributed_client():
+    """The live jax.distributed client, or None. (There is no public
+    is_initialized(); this reads the documented-stable internal state.)"""
+    try:
+        from jax._src import distributed as _dist
+        return getattr(_dist.global_state, "client", None)
+    except ImportError:  # pragma: no cover - jax internals moved
+        return None
 
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
@@ -36,17 +52,23 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                          local_device_ids=None) -> dict:
     """Idempotent wrapper over ``jax.distributed.initialize``.
 
-    On TPU pods all arguments are discovered from the environment; on
-    CPU/GPU clusters pass them explicitly or via the standard variables
+    MUST be the first JAX-touching call in the process — it deliberately
+    avoids querying the backend itself, because initializing the XLA
+    backend makes ``jax.distributed.initialize`` impossible.
+
+    Initialization happens when the caller (or the environment) provides
+    distributed config: explicit arguments, the standard variables
     (``JAX_COORDINATOR_ADDRESS``, ``JAX_NUM_PROCESSES``,
-    ``JAX_PROCESS_ID``). Returns a summary dict
-    ``{process_index, process_count, local_devices, global_devices}``.
-    Safe to call when already initialized (returns the current topology) and
-    in single-process runs (no-op unless explicitly configured: calling
-    ``jax.distributed.initialize`` with no coordinator on a non-TPU
-    single process would try to spawn a coordination service).
+    ``JAX_PROCESS_ID``), or TPU-pod launcher markers (auto-discovery).
+    Plain single-process runs with none of those are a no-op. Failures
+    (bad coordinator address, called after backend init, ...) raise —
+    silently degrading a pod job to independent single-host runs would
+    compute garbage. Returns ``{process_index, process_count,
+    local_devices, global_devices}``.
     """
-    global _initialized
+    if _distributed_client() is not None:      # launcher already did it
+        return topology()
+
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
@@ -54,22 +76,31 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
-    want_init = (coordinator_address is not None
-                 or num_processes is not None
-                 or jax.default_backend() == "tpu")
-    if want_init and not _initialized and jax.process_count() == 1:
+    explicit = (coordinator_address is not None or num_processes is not None
+                or process_id is not None)
+    tpu_pod = any(m in os.environ for m in _TPU_POD_ENV_MARKERS)
+    if explicit or tpu_pod:
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
                 process_id=process_id,
                 local_device_ids=local_device_ids)
-            _initialized = True
-        except (RuntimeError, ValueError) as e:
-            # already initialized by the launcher, or single-host TPU where
-            # there is nothing to coordinate — both fine
-            if "already" not in str(e).lower() and num_processes not in (
-                    None, 1):
+        except RuntimeError as e:
+            if "backend" in str(e).lower():
+                raise RuntimeError(
+                    "initialize_multihost must run before any JAX call "
+                    "that initializes the XLA backend (jax.devices, "
+                    "jax.default_backend, jnp ops, ...). Move it to the "
+                    "top of the program.") from e
+            raise
+        except ValueError:
+            # jax's cluster auto-detection could not determine a config.
+            # Explicit intent must fail loudly (silently degrading a pod
+            # job to independent single-host runs computes garbage); a
+            # misfired env heuristic (e.g. single-host runtimes that also
+            # set TPU_WORKER_HOSTNAMES) is a plain single-process run.
+            if explicit:
                 raise
     return topology()
 

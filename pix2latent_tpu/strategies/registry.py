@@ -141,7 +141,10 @@ class DiagonalCMAStrategy(_Base):
 
     def __init__(self, dim, num_samples, mu=None, sigma=1.0):
         super().__init__(dim, num_samples, mu, sigma)
-        d, lam = float(self.dim), self.num_samples
+        d = float(self.dim)
+        # weight/rate schedule from an effective popsize >= 2 (lam=1 would
+        # give w=[0]/0 = nan — same guard as CMAStrategy's max(n, 2))
+        lam = max(self.num_samples, 2)
         k = max(lam // 2, 1)
         w = np.log(lam / 2.0 + 0.5) - np.log(np.arange(1, k + 1))
         w = w / w.sum()
@@ -176,7 +179,7 @@ class DiagonalCMAStrategy(_Base):
                 + state.sigma * jnp.sqrt(state.diag_c)[None] * eps)
 
     def tell(self, state, x, loss, aux=None):
-        idx = jnp.argsort(loss)[:self._k]
+        idx = jnp.argsort(loss)[:min(self._k, x.shape[0])]
         y = (x[idx] - state.mean[None]) / state.sigma      # [k, d]
         y_w = jnp.einsum("k,kd->d", self._w, y)
         mean = state.mean + state.sigma * y_w

@@ -35,51 +35,37 @@ def capture_biggan():
     # warm up: compile + fill caches so the trace is steady-state only
     state, _, _ = bench._run_gens(opt, gen_fn, defaults, 2, seed=17)
     with jax.profiler.trace(LOGDIR):
+        # _run_gens ends with a host value fetch of every gen_min — a true
+        # sync on the axon tunnel, so the trace window covers the work
         state, mins, _ = bench._run_gens(
             opt, gen_fn, defaults, PROFILE_GENS, seed=18, state=state)
-        jax.block_until_ready(state)
     return LOGDIR
 
 
 def capture_stylegan2():
-    """Steady-state trace of bench_stylegan2's fused generation."""
+    """Steady-state trace of bench_stylegan2's fused generation (reuses its
+    ``_build`` so the trace is exactly the benched program). Syncs are host
+    value fetches — ``block_until_ready`` does not reliably await completion
+    on the axon tunnel (CLAUDE.md), which would let warmup bleed into the
+    trace window or close it before the generations execute."""
     import warnings
 
     import bench_stylegan2 as B
-    import pix2latent_tpu.loss_functions as LF
-    from pix2latent_tpu import VariableManager, hooks
-    from pix2latent_tpu.models.stylegan2 import StyleGAN2
-    from pix2latent_tpu.optimizers import BasinCMAOptimizer
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        model = StyleGAN2("cars", search="z", dtype=B.BENCH_DTYPE)
-        loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=10.0,
-                                    dtype=B.BENCH_DTYPE)
-        im = model.im_res
-        vm = VariableManager(seed=0)
-        vm.register("z", shape=(512,), var_type="input", grad_free=True,
-                    learning_rate=0.05,
-                    hook_fn=hooks.Compose(hooks.Normalize(),
-                                          hooks.NormalPerturb(0.05)))
-        vm.register("target", shape=(im, im, 3), var_type="output",
-                    requires_grad=False, default=jnp.zeros((im, im, 3)))
-        vm.register("weight", shape=(im, im, 3), var_type="output",
-                    requires_grad=False, default=jnp.ones((im, im, 3)))
-        opt = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
-        opt.setup_cma(vm)
-        gen_fn = opt._build_fused_generation(B.GRAD_STEPS)
-        defaults = vm.defaults()
+        opt, gen_fn, defaults = B._build(B.BENCH_DTYPE)
+        params = opt.model.params
         state = opt.cma_state
-        state, gen_min = gen_fn(model.params, defaults, state, opt.next_key(),
+        state, gen_min = gen_fn(params, defaults, state, opt.next_key(),
                                 jnp.asarray(0, jnp.int32))
-        jax.block_until_ready(gen_min)
+        float(gen_min)                      # warmup sync (value fetch)
         with jax.profiler.trace(LOGDIR):
             for i in range(PROFILE_GENS):
-                state, gen_min = gen_fn(model.params, defaults, state,
+                state, gen_min = gen_fn(params, defaults, state,
                                         opt.next_key(),
                                         jnp.asarray(i + 1, jnp.int32))
-            jax.block_until_ready(gen_min)
+            float(gen_min)                  # trace-close sync (value fetch)
     return LOGDIR
 
 

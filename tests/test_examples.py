@@ -96,3 +96,35 @@ def test_wplus_registration_shapes():
     assert np.allclose(np.asarray(variables["input"]["noises"]), 0.0)
     # w init clusters near the mean latent (sigma = 0.1 * w_std = 0.2)
     assert abs(float(variables["input"]["z"].mean()) - 0.25) < 0.05
+
+
+def test_wplus_grad_free_seeds_cma_at_mean_latent():
+    """grad_free=True in w+ mode must become a (w_mean, sigma) tuple — the
+    CMA/NG drivers read their search seed from the tuple, and a bare True
+    would start the w search at N(0, I), off the style manifold."""
+    import argparse
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, EXAMPLES)
+    from common import register_stylegan2_vars
+    from pix2latent_tpu import VariableManager
+
+    class FakeModel:
+        def latent_stats(self):
+            return jnp.full((512,), 0.25), jnp.asarray(2.0)
+
+        def noise_dim(self):
+            return 96
+
+    args = argparse.Namespace(search="w+", grad_free=True, lr=0.05,
+                              latent_noise=0.05)
+    target = jnp.zeros((64, 64, 3))
+    vm = register_stylegan2_vars(VariableManager(), FakeModel(), args,
+                                 target, jnp.ones_like(target))
+    gf = vm.variable_info["z"]["grad_free"]
+    assert isinstance(gf, tuple) and len(gf) == 2
+    mu, sigma = gf
+    assert np.allclose(np.asarray(mu), 0.25)
+    assert abs(float(sigma) - 0.2) < 1e-6

@@ -357,7 +357,9 @@ class TestMultihost:
     def test_initialize_multihost_real_coordinator(self):
         """Run jax.distributed.initialize for real (single-process
         coordinator) in a subprocess so the main test process stays
-        uninitialized; then shard a population over the global mesh."""
+        uninitialized. Non-tautological: asserts the distributed CLIENT
+        actually exists afterwards (a swallowed init would leave it None),
+        then shards a population over the global mesh."""
         import subprocess
         import sys
         import textwrap
@@ -368,6 +370,8 @@ class TestMultihost:
             os.environ["XLA_FLAGS"] = \
                 "--xla_force_host_platform_device_count=8"
             import sys; sys.path.insert(0, %r)
+            # config updates are allowed pre-init; backend init is not
+            # (the axon plugin overrides JAX_PLATFORMS, so force cpu)
             import jax
             jax.config.update("jax_platforms", "cpu")
             from pix2latent_tpu.parallel import (make_mesh, multihost,
@@ -375,6 +379,8 @@ class TestMultihost:
             info = multihost.initialize_multihost(
                 coordinator_address="localhost:12397",
                 num_processes=1, process_id=0)
+            assert multihost._distributed_client() is not None, \\
+                "jax.distributed did not actually initialize"
             assert info["process_count"] == 1, info
             assert info["global_devices"] == 8, info
             # idempotent second call
@@ -385,10 +391,62 @@ class TestMultihost:
             vs = {"input": {"z": jnp.arange(24.0).reshape(24, 1)}}
             vs = shard_variables(vs, mesh)
             assert float(jnp.sum(vs["input"]["z"])) == sum(range(24))
-            assert list(multihost.local_population_rows(mesh, 24)) == \
+            assert list(multihost.local_population_rows(mesh, 24)) == \\
                 list(range(24))
             print("MH_OK")
         """) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, timeout=300)
         assert "MH_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+    def test_initialize_after_backend_raises_helpfully(self):
+        """Calling after the XLA backend exists must fail LOUDLY (silent
+        single-host degradation on a pod would compute garbage)."""
+        import subprocess
+        import sys
+        import textwrap
+
+        code = textwrap.dedent("""
+            import os
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            import sys; sys.path.insert(0, %r)
+            import jax
+            jax.devices()                      # initialize the backend FIRST
+            from pix2latent_tpu.parallel import multihost
+            try:
+                multihost.initialize_multihost(
+                    coordinator_address="localhost:12398",
+                    num_processes=1, process_id=0)
+            except RuntimeError as e:
+                assert "before any JAX call" in str(e), e
+                print("RAISED_HELPFULLY")
+        """) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=300)
+        assert "RAISED_HELPFULLY" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+    def test_no_config_is_noop(self):
+        """Single-process with no distributed config must not try to spin
+        up a coordinator (and must not raise)."""
+        import subprocess
+        import sys
+        import textwrap
+
+        code = textwrap.dedent("""
+            import os
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            for v in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                      "JAX_PROCESS_ID"):
+                os.environ.pop(v, None)
+            import sys; sys.path.insert(0, %r)
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            from pix2latent_tpu.parallel import multihost
+            info = multihost.initialize_multihost()
+            assert multihost._distributed_client() is None
+            assert info["process_count"] == 1
+            print("NOOP_OK")
+        """) % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=300)
+        assert "NOOP_OK" in r.stdout, (r.stdout, r.stderr[-2000:])

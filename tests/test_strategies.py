@@ -162,3 +162,17 @@ class TestDiagonalCMA:
         final = float(f(strat.mean(state)[None])[0])
         # d=512 needs O(d) generations; 400 gens should cut the sphere hard
         assert final < 0.1 * first
+
+    def test_popsize_one_no_nan(self, key):
+        """num_samples=1 must not NaN the recombination weights (guarded
+        like CMAStrategy's max(n, 2))."""
+        from pix2latent_tpu.strategies.registry import registry
+        strat = registry["DiagonalCMA"](4, 1, sigma=1.0)
+        state = strat.init(key)
+        for g in range(5):
+            key, k = jax.random.split(key)
+            x = strat.ask(state, k)
+            assert x.shape == (1, 4)
+            state = strat.tell(state, x, jnp.sum(x ** 2, -1))
+        assert np.isfinite(np.asarray(state.mean)).all()
+        assert np.isfinite(float(state.sigma))
