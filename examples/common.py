@@ -146,16 +146,18 @@ def register_stylegan2_vars(vm, model, args, target, weight, loss_mask=None):
     im = target.shape[0]
     if getattr(args, "search", "z") == "w+":
         w_mean, w_std = model.latent_stats()
+        # sigma floor: random-init mapping MLPs collapse w (std ~ 0), and a
+        # zero search sigma NaNs every strategy's (x - mean)/sigma update
+        w_sigma = max(0.1 * float(w_std), 0.05)
         # gradient-free drivers read their (mu, sigma) seed from a
         # grad_free TUPLE (a bare True would start CMA at N(0, I), far off
         # the style-MLP output manifold)
         gf = getattr(args, "grad_free", False)
         if gf is True:
-            gf = (np.asarray(w_mean), 0.1 * float(w_std))
+            gf = (np.asarray(w_mean), w_sigma)
         vm.register("z", shape=(512,), var_type="input",
                     grad_free=gf,
-                    distribution=dist.Normal(mu=w_mean,
-                                             sigma=0.1 * float(w_std)),
+                    distribution=dist.Normal(mu=w_mean, sigma=w_sigma),
                     learning_rate=args.lr,
                     hook_fn=hooks.NormalPerturb(args.latent_noise))
         vm.register("noises", shape=(model.noise_dim(),), var_type="input",

@@ -331,14 +331,19 @@ class StyleGAN2(FlaxModel):
             z = jax.random.normal(key, (n_sample, 512))
             w = self.module.apply({"params": self.params}, z,
                                   method=StyleGAN2Generator.style)
-            self._mean_latent_cache = jnp.mean(w, axis=0, keepdims=True)
+            # f32 statistics even under bf16 compute: summing millions of
+            # bf16 values loses the tail, and downstream search sigmas are
+            # derived from these numbers
+            self._mean_latent_cache = jnp.mean(
+                w.astype(jnp.float32), axis=0, keepdims=True)
         return self._mean_latent_cache
 
     def latent_stats(self, n_sample=4096, key=None):
         key = key or jax.random.PRNGKey(0)
         z = jax.random.normal(key, (n_sample, 512))
         w = self.module.apply({"params": self.params}, z,
-                              method=StyleGAN2Generator.style)
+                              method=StyleGAN2Generator.style
+                              ).astype(jnp.float32)
         mean = jnp.mean(w, axis=0)
         std = jnp.sqrt(jnp.sum((w - mean) ** 2) / n_sample)
         return mean, std

@@ -116,6 +116,8 @@ def make_params(n: int, popsize: Optional[int] = None,
 def init(mean, sigma: float = 1.0, popsize: Optional[int] = None,
          active: bool = False):
     """Build (params, state) for a search centered at ``mean`` with step ``sigma``."""
+    assert float(sigma) > 0.0, (
+        f"CMA sigma must be positive, got {sigma}")
     mean = jnp.asarray(mean, jnp.float32).reshape(-1)
     n = mean.shape[0]
     params = make_params(n, popsize, active=active)

@@ -71,6 +71,9 @@ class _Base:
         self.mu0 = (jnp.zeros(dim, jnp.float32) if mu is None
                     else jnp.asarray(mu, jnp.float32).reshape(-1))
         self.sigma0 = float(sigma)
+        assert self.sigma0 > 0.0, (
+            f"search sigma must be positive, got {sigma} — a zero sigma "
+            "silently NaNs every (x - mean)/sigma update")
 
     def init(self, key):
         raise NotImplementedError
