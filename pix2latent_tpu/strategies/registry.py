@@ -195,8 +195,11 @@ class DiagonalCMAStrategy(_Base):
         gen = state.gen + 1
         norm = jnp.linalg.norm(p_sigma)
         denom = jnp.sqrt(1.0 - (1.0 - self._c_sigma) ** (2.0 * gen))
+        # cast to the state dtype (f32 in production, f64 under the parity
+        # test's enable_x64) — an f32 h_sig would weakly demote the f64
+        # sqrt(c_c (2-c_c) mueff) constant it multiplies
         h_sig = (norm / denom / self._chi_d
-                 < 1.4 + 2.0 / (self.dim + 1.0)).astype(jnp.float32)
+                 < 1.4 + 2.0 / (self.dim + 1.0)).astype(state.p_c.dtype)
         p_c = ((1.0 - self._c_c) * state.p_c
                + h_sig * np.sqrt(self._c_c * (2.0 - self._c_c)
                                  * self._mueff) * y_w)

@@ -220,3 +220,104 @@ def test_f32_production_path_tracks_f64_reference():
     np.testing.assert_allclose(np.asarray(state.mean), ref.mean,
                                rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(float(state.sigma), ref.sigma, rtol=5e-3)
+
+
+class NumpySepCMA:
+    """Ros & Hansen 2008 sep-CMA-ES (diagonal covariance), float64 numpy,
+    transcribed independently from the paper's Table 1 (the standard CMA
+    constants with the covariance learning rate boosted by (n+2)/3 and the
+    update restricted to the diagonal). Shares NO code with
+    ``strategies.registry.DiagonalCMAStrategy``."""
+
+    def __init__(self, mean, sigma, popsize):
+        self.n = len(mean)
+        n = float(self.n)
+        lam = max(popsize, 2)
+        self.mu = max(lam // 2, 1)
+        w = np.log((lam + 1) / 2.0) - np.log(np.arange(1, self.mu + 1))
+        self.w = w / w.sum()
+        self.mueff = 1.0 / np.sum(self.w ** 2)
+        self.cs = (self.mueff + 2) / (n + self.mueff + 5)
+        self.damps = (1 + 2 * max(0.0, math.sqrt((self.mueff - 1) / (n + 1))
+                                  - 1) + self.cs)
+        self.cc = (4 + self.mueff / n) / (n + 4 + 2 * self.mueff / n)
+        c1 = 2 / ((n + 1.3) ** 2 + self.mueff)
+        cmu = min(1 - c1, 2 * (self.mueff - 2 + 1 / self.mueff)
+                  / ((n + 2) ** 2 + self.mueff))
+        boost = (n + 2.0) / 3.0
+        self.c1 = min(1.0, c1 * boost)
+        self.cmu = min(1.0 - self.c1, cmu * boost)
+        self.chi_n = math.sqrt(n) * (1 - 1 / (4 * n) + 1 / (21 * n * n))
+
+        self.mean = np.asarray(mean, np.float64).copy()
+        self.sigma = float(sigma)
+        self.c = np.ones(self.n)
+        self.ps = np.zeros(self.n)
+        self.pc = np.zeros(self.n)
+        self.g = 0
+
+    def tell(self, x, fitness):
+        idx = np.argsort(fitness)[:self.mu]
+        y = (x[idx] - self.mean[None]) / self.sigma
+        y_w = self.w @ y
+        self.ps = ((1 - self.cs) * self.ps
+                   + math.sqrt(self.cs * (2 - self.cs) * self.mueff)
+                   * y_w / np.sqrt(self.c))
+        self.g += 1
+        ps_norm = np.linalg.norm(self.ps)
+        denom = math.sqrt(1 - (1 - self.cs) ** (2 * self.g))
+        h_sig = float(ps_norm / denom / self.chi_n
+                      < 1.4 + 2 / (self.n + 1.0))
+        self.pc = ((1 - self.cc) * self.pc
+                   + h_sig * math.sqrt(self.cc * (2 - self.cc) * self.mueff)
+                   * y_w)
+        delta_h = (1 - h_sig) * self.cc * (2 - self.cc)
+        self.c = ((1 - self.c1 - self.cmu + self.c1 * delta_h) * self.c
+                  + self.c1 * self.pc ** 2
+                  + self.cmu * self.w @ (y ** 2))
+        self.mean = self.mean + self.sigma * y_w
+        self.sigma = self.sigma * math.exp(
+            (self.cs / self.damps) * (ps_norm / self.chi_n - 1))
+
+
+@pytest.mark.parametrize("dim", [4, 16, 512])
+def test_sep_cma_trajectory_matches_numpy_reference(dim):
+    """DiagonalCMAStrategy vs the independent f64 sep-CMA transcription:
+    identical candidates, trajectory agreement per generation."""
+    from pix2latent_tpu.strategies.registry import DiagonalCMAStrategy
+
+    rng = np.random.RandomState(dim)
+    popsize = jax_cma.default_popsize(dim)
+    scales = np.exp(rng.randn(dim) * 0.5)
+    x_star = rng.randn(dim)
+
+    def fitness(x):
+        return np.sum(((x - x_star[None]) * scales[None]) ** 2, axis=-1)
+
+    with jax.enable_x64(True):
+        strat = DiagonalCMAStrategy(dim, popsize, sigma=1.0)
+        ref = NumpySepCMA(np.zeros(dim), 1.0, popsize)
+        # f64 state + f64 weights (the production f32 rounding would
+        # otherwise dominate the comparison)
+        state = jax.tree.map(
+            lambda v: v.astype(jnp.float64)
+            if jnp.issubdtype(v.dtype, jnp.floating) else v,
+            strat.init(jax.random.PRNGKey(0)))
+        strat._w = jnp.asarray(ref.w)
+
+        tell = jax.jit(strat.tell)
+        for gen in range(50):
+            z = rng.randn(popsize, dim)
+            x = ref.mean[None] + ref.sigma * np.sqrt(ref.c)[None] * z
+            f = fitness(x)
+            state = tell(state, jnp.asarray(x), jnp.asarray(f))
+            ref.tell(x, f)
+            np.testing.assert_allclose(
+                np.asarray(state.mean), ref.mean, rtol=1e-9, atol=1e-12,
+                err_msg=f"mean diverged at generation {gen}")
+            np.testing.assert_allclose(
+                float(state.sigma), ref.sigma, rtol=1e-9,
+                err_msg=f"sigma diverged at generation {gen}")
+            np.testing.assert_allclose(
+                np.asarray(state.diag_c), ref.c, rtol=1e-8, atol=1e-12,
+                err_msg=f"diag(C) diverged at generation {gen}")
