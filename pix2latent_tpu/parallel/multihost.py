@@ -29,11 +29,16 @@ from typing import Optional
 
 import jax
 
-_TPU_POD_ENV_MARKERS = (
-    # set by the TPU runtime/launchers on multi-host slices
-    "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID",
-    "MEGASCALE_COORDINATOR_ADDRESS",
-)
+def _multi_host_markers() -> bool:
+    """True only for env markers SPECIFIC to multi-host slices. Single-host
+    TPU VMs also export TPU_WORKER_ID / a one-entry TPU_WORKER_HOSTNAMES,
+    and treating those as pod markers would send zero-config single-host
+    runs into jax's cluster auto-detection (metadata-server probes that can
+    raise or retry for minutes when unreachable)."""
+    if os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        return True
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([h for h in hostnames.split(",") if h.strip()]) > 1
 
 
 def _distributed_client():
@@ -42,7 +47,7 @@ def _distributed_client():
     try:
         from jax._src import distributed as _dist
         return getattr(_dist.global_state, "client", None)
-    except ImportError:  # pragma: no cover - jax internals moved
+    except (ImportError, AttributeError):  # pragma: no cover - jax moved
         return None
 
 
@@ -78,28 +83,26 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     explicit = (coordinator_address is not None or num_processes is not None
                 or process_id is not None)
-    tpu_pod = any(m in os.environ for m in _TPU_POD_ENV_MARKERS)
-    if explicit or tpu_pod:
+    if explicit or _multi_host_markers():
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
                 process_id=process_id,
                 local_device_ids=local_device_ids)
-        except RuntimeError as e:
-            if "backend" in str(e).lower():
+        except Exception as e:
+            if isinstance(e, RuntimeError) and "backend" in str(e).lower():
                 raise RuntimeError(
                     "initialize_multihost must run before any JAX call "
                     "that initializes the XLA backend (jax.devices, "
                     "jax.default_backend, jnp ops, ...). Move it to the "
                     "top of the program.") from e
-            raise
-        except ValueError:
-            # jax's cluster auto-detection could not determine a config.
             # Explicit intent must fail loudly (silently degrading a pod
             # job to independent single-host runs computes garbage); a
-            # misfired env heuristic (e.g. single-host runtimes that also
-            # set TPU_WORKER_HOSTNAMES) is a plain single-process run.
+            # misfired env heuristic is a plain single-process run —
+            # cluster auto-detection failures there (ValueError when no
+            # config is derivable, connection errors / retry exhaustion
+            # probing a metadata server) must not crash zero-config runs.
             if explicit:
                 raise
     return topology()

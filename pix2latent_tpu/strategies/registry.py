@@ -182,7 +182,7 @@ class DiagonalCMAStrategy(_Base):
                 + state.sigma * jnp.sqrt(state.diag_c)[None] * eps)
 
     def tell(self, state, x, loss, aux=None):
-        idx = jnp.argsort(loss)[:min(self._k, x.shape[0])]
+        idx = jnp.argsort(loss)[:self._k]
         y = (x[idx] - state.mean[None]) / state.sigma      # [k, d]
         y_w = jnp.einsum("k,kd->d", self._w, y)
         mean = state.mean + state.sigma * y_w

@@ -303,6 +303,10 @@ def test_sep_cma_trajectory_matches_numpy_reference(dim):
             lambda v: v.astype(jnp.float64)
             if jnp.issubdtype(v.dtype, jnp.floating) else v,
             strat.init(jax.random.PRNGKey(0)))
+        # the strategy must have derived the SAME weights on its own
+        # before we swap in the f64 copies (f32 storage rounding only)
+        np.testing.assert_allclose(np.asarray(strat._w, np.float64), ref.w,
+                                   rtol=1e-6)
         strat._w = jnp.asarray(ref.w)
 
         tell = jax.jit(strat.tell)

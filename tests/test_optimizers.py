@@ -411,6 +411,7 @@ class TestMultihost:
             os.environ["JAX_PLATFORMS"] = "cpu"
             import sys; sys.path.insert(0, %r)
             import jax
+            jax.config.update("jax_platforms", "cpu")  # axon overrides env
             jax.devices()                      # initialize the backend FIRST
             from pix2latent_tpu.parallel import multihost
             try:
@@ -436,7 +437,8 @@ class TestMultihost:
             import os
             os.environ["JAX_PLATFORMS"] = "cpu"
             for v in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
-                      "JAX_PROCESS_ID"):
+                      "JAX_PROCESS_ID", "MEGASCALE_COORDINATOR_ADDRESS",
+                      "TPU_WORKER_HOSTNAMES"):
                 os.environ.pop(v, None)
             import sys; sys.path.insert(0, %r)
             import jax
