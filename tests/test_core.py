@@ -96,3 +96,47 @@ class TestDonation:
         # chain a second call on the returned values
         v, st, out, ys = core.grad_steps(v, st, key, 4, start_step=4)
         assert np.isfinite(np.asarray(ys["loss"])).all()
+
+
+class TestBringYourOwnGenerator:
+    """The reference's README template: plug an arbitrary callable model and
+    a lambda loss into VariableManager + GradientOptimizer
+    (``/root/reference/README.md:89-118``). A bare function (no Flax, no
+    params) must drive the whole stack."""
+
+    def test_plain_function_model_inverts(self, key):
+        import numpy as np
+
+        from pix2latent_tpu import VariableManager
+        from pix2latent_tpu.optimizers import GradientOptimizer
+
+        proj = jax.random.normal(key, (8, 4 * 4 * 3))
+
+        def generator(z):                       # (**inputs) -> NHWC image
+            return jnp.tanh(z @ proj).reshape(-1, 4, 4, 3)
+
+        z_true = jax.random.normal(jax.random.PRNGKey(3), (1, 8))
+        target = generator(z_true)[0]
+
+        def loss_fn(out, target):               # lambda-style loss
+            return jnp.mean(jnp.abs(target - out), axis=(1, 2, 3))
+
+        vm = VariableManager(seed=0)
+        vm.register("z", shape=(8,), var_type="input", learning_rate=0.1)
+        vm.register("target", shape=(4, 4, 3), var_type="output",
+                    requires_grad=False, default=target)
+
+        opt = GradientOptimizer(generator, vm, loss_fn)
+        variables, outs, losses = opt.optimize(num_samples=4, grad_steps=200)
+        assert float(np.asarray(losses[-1][1]["loss"]).min()) < 0.02
+
+    def test_function_model_with_params(self, key):
+        from pix2latent_tpu.models.base import FunctionModel
+
+        w = jax.random.normal(key, (8, 8))
+        m = FunctionModel(lambda params, z: z @ params, params=w)
+        out = m(z=jnp.ones((2, 8)))
+        assert out.shape == (2, 8)
+        # params travel as arguments (cache rule), not closures
+        out2 = m.apply(2.0 * w, z=jnp.ones((2, 8)))
+        assert float(jnp.max(jnp.abs(out2 - 2.0 * out))) < 1e-6
