@@ -25,6 +25,13 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--method", type=str, default="basincma",
                    choices=["adam", "cma", "basincma"])
+    p.add_argument("--color_transform", type=str, default="",
+                   help="comma list from {hue,gamma,saturation,brightness,"
+                        "contrast} to compose with the spatial search — "
+                        "differentiable color transforms (upgrade: the "
+                        "reference's were CPU/PIL and CMA-only). The wider "
+                        "search space needs the full 50x10 budget; --smoke "
+                        "only exercises the machinery")
     args = p.parse_args()
     args.grad_free = False   # z is Adam-only during the transform phase
     model = load_biggan(args)
@@ -34,8 +41,21 @@ def main():
     vm = register_biggan_vars(VariableManager(), model, args, target, weight)
 
     # -- phase 1: transform search -- #
-    target_tf = SpatialTransform(pre_align=mask if args.mask_fp else None)
-    weight_tf = SpatialTransform(pre_align=mask if args.mask_fp else None)
+    colors = tuple(c for c in args.color_transform.split(",") if c)
+    if colors:
+        from pix2latent_tpu.transform import setup_transform_fn
+
+        def make_tf():
+            fn, _ = setup_transform_fn(
+                spatial_transform=True, align=args.mask_fp is not None,
+                weight=mask if args.mask_fp else None,
+                color_transform=colors)
+            return fn
+
+        target_tf, weight_tf = make_tf(), make_tf()
+    else:
+        target_tf = SpatialTransform(pre_align=mask if args.mask_fp else None)
+        weight_tf = SpatialTransform(pre_align=mask if args.mask_fp else None)
     t_dim = target_tf.get_default_param(as_tensor=False).shape[0]
     vm.register("t", shape=(t_dim,), var_type="transform",
                 requires_grad=False, grad_free=True)

@@ -16,8 +16,9 @@ from pix2latent_tpu.transform.color import (BrightnessTransform,
 from pix2latent_tpu.transform.compose import ComposeTransform
 from pix2latent_tpu.transform.transform_optimizer import (
     TransformBasinCMAOptimizer)
+from pix2latent_tpu.transform.utils import setup_transform_fn
 
 __all__ = ["TransformTemplate", "SpatialTransform", "ComposeTransform",
            "ColorTransform", "HueTransform", "BrightnessTransform",
            "GammaTransform", "SaturationTransform", "ContrastTransform",
-           "TransformBasinCMAOptimizer"]
+           "TransformBasinCMAOptimizer", "setup_transform_fn"]
