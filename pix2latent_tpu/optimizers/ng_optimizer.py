@@ -136,7 +136,19 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
                       budget=meta_steps * num_samples)
         self.losses, self.outs = [], []
         total_steps = meta_steps * grad_steps + last_grad_steps
-        gen_fn = self._build_fused_generation(grad_steps)
+        # memoize the built generation (same rule as basincma.py's
+        # _fused_gens): the traced program closes over the strategy object,
+        # so the key covers everything that determines its params
+        import numpy as np
+        strat = self.ng_strategy
+        cache_key = (grad_steps, self.num_samples, self.method, strat.dim,
+                     strat.sigma0, np.asarray(strat.mu0).tobytes())
+        if not hasattr(self, "_fused_gens"):
+            self._fused_gens = {}
+        if cache_key not in self._fused_gens:
+            self._fused_gens[cache_key] = \
+                self._build_fused_generation(grad_steps)
+        gen_fn = self._fused_gens[cache_key]
         defaults = self.var_manager.defaults()
 
         state = self.ng_state

@@ -83,7 +83,8 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     explicit = (coordinator_address is not None or num_processes is not None
                 or process_id is not None)
-    if explicit or _multi_host_markers():
+    markers = _multi_host_markers()
+    if explicit or markers:
         try:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
@@ -97,14 +98,22 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                     "that initializes the XLA backend (jax.devices, "
                     "jax.default_backend, jnp ops, ...). Move it to the "
                     "top of the program.") from e
-            # Explicit intent must fail loudly (silently degrading a pod
-            # job to independent single-host runs computes garbage); a
-            # misfired env heuristic is a plain single-process run —
-            # cluster auto-detection failures there (ValueError when no
-            # config is derivable, connection errors / retry exhaustion
-            # probing a metadata server) must not crash zero-config runs.
+            # Both triggers mean this IS a distributed job — explicit
+            # config, or pod markers that only fire on genuine multi-host
+            # slices (>1 TPU_WORKER_HOSTNAMES / megascale coordinator, see
+            # _multi_host_markers). Silently degrading to independent
+            # single-host runs would compute garbage, so fail loudly
+            # either way.
             if explicit:
                 raise
+            raise RuntimeError(
+                "jax.distributed.initialize failed on a multi-host slice "
+                "(detected via TPU pod env markers). Each host proceeding "
+                "independently would silently compute garbage. Fix the "
+                "coordinator (or pass coordinator_address/num_processes/"
+                "process_id explicitly); to force single-host execution, "
+                "clear TPU_WORKER_HOSTNAMES/MEGASCALE_COORDINATOR_ADDRESS."
+            ) from e
     return topology()
 
 

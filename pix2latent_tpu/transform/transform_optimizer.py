@@ -94,7 +94,12 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
 
     def get_candidate(self):
         """Best transform parameter found (reference
-        ``transform_optimizer.py:161-162``)."""
+        ``transform_optimizer.py:161-162``). Returns ``None`` when no
+        generation ever produced a finite loss — the checkpointed path
+        pre-seeds ``_candidate`` with a zero placeholder for pytree
+        stability, and that placeholder must not masquerade as a result."""
+        if self._candidate is not None and not np.isfinite(self._best_loss):
+            return None
         return self._candidate
 
     def vis_transform(self, variables):

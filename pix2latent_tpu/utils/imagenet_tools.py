@@ -29,16 +29,31 @@ def _meta():
         return json.load(f)
 
 
-def wnid_to_label(wnid: str) -> int:
-    """'n02084071'-style wnid -> ImageNet class index."""
-    return int(_meta()["imagenet_wnid_to_label"][wnid])
+def _wnid_key(wnid) -> str:
+    """Normalize a wnid ('n02084071', '2084071', or int 2084071) to the
+    int-string key format of the metadata table (which mirrors the
+    reference's integer-keyed ``IMAGENET_WNID_TO_LABEL``,
+    ``dataset_misc.py``; its ``wnid_to_synset`` accepts both forms too,
+    ``imagenet_tools.py:50-57``)."""
+    s = str(wnid)
+    if s and s[0] == "n":
+        s = s[1:]
+    return str(int(s))
+
+
+def wnid_to_label(wnid) -> int:
+    """wnid ('n02084071' / '2084071' / 2084071) -> ImageNet class index."""
+    return int(_meta()["imagenet_wnid_to_label"][_wnid_key(wnid)])
+
+
+@functools.lru_cache(maxsize=1)
+def _label_to_wnid_table():
+    return {int(v): k for k, v in _meta()["imagenet_wnid_to_label"].items()}
 
 
 def label_to_wnid(label: int) -> str:
-    for k, v in _meta()["imagenet_wnid_to_label"].items():
-        if int(v) == int(label):
-            return k
-    raise KeyError(label)
+    """ImageNet class index -> canonical 'n%08d' wnid string."""
+    return "n" + _label_to_wnid_table()[int(label)].zfill(8)
 
 
 def label_to_noun(label: int) -> str:
@@ -74,10 +89,11 @@ def _wordnet():
         ) from e
 
 
-def wnid_to_synset(wnid: str):
-    """wnid -> nltk synset (reference ``imagenet_tools.py:40-55``)."""
+def wnid_to_synset(wnid):
+    """wnid (any accepted form) -> nltk synset (reference
+    ``imagenet_tools.py:50-57``, which likewise accepts 'n…'/str/int)."""
     wn = _wordnet()
-    return wn.synset_from_pos_and_offset(wnid[0], int(wnid[1:]))
+    return wn.synset_from_pos_and_offset("n", int(_wnid_key(wnid)))
 
 
 def synset_to_wnid(synset) -> str:
@@ -93,7 +109,7 @@ def query_subclass_by_name(name: str, verbose: bool = False):
         closure = set(syn.closure(lambda s: s.hyponyms()))
         closure.add(syn)
         for s in closure:
-            wnid = synset_to_wnid(s)
+            wnid = _wnid_key(synset_to_wnid(s))
             if wnid in _meta()["imagenet_wnid_to_label"]:
                 lbl = wnid_to_label(wnid)
                 labels.append(lbl)
@@ -115,8 +131,9 @@ def wnid_to_noun(wnid: str) -> str:
         return wnid_to_synset(wnid).lemmas()[0].name().replace("_", " ")
     except RuntimeError:
         table = _meta()["imagenet_wnid_to_label"]
-        if wnid in table:
-            return label_to_noun(int(table[wnid])).split(",")[0]
+        key = _wnid_key(wnid)
+        if key in table:
+            return label_to_noun(int(table[key])).split(",")[0]
         raise
 
 
@@ -171,29 +188,44 @@ def read_txt_file(txt_file):
         return list(f)
 
 
-def _valid_wnids_for(names):
-    wnids = {}
+def _valid_labels_for(names):
+    labels = {}
     for n in names:
         try:
             v = query_subclass_by_name(n)
         except RuntimeError:
             v = [lbl for lbl, _ in noun_to_labels(n)]
         if v:
-            wnids[n] = np.sort(np.asarray(v))
-    return wnids
+            labels[n] = np.sort(np.asarray(v))
+    return labels
+
+
+def get_coco_valid_labels():
+    """COCO category -> ImageNet class indices (reference
+    ``imagenet_tools.py:125-131``; labels are the working currency here —
+    the reference mixed wnids and labels)."""
+    return _valid_labels_for(coco_categories())
+
+
+def get_pascal_valid_labels():
+    """PASCAL category -> ImageNet class indices (reference
+    ``imagenet_tools.py:134-140``)."""
+    return _valid_labels_for(pascal_categories())
 
 
 def get_coco_valid_wnids():
-    """COCO category -> ImageNet class indices (reference
-    ``imagenet_tools.py:125-131``; returns labels, the working currency
-    here — the reference mixed wnids and labels)."""
-    return _valid_wnids_for(coco_categories())
+    """COCO category -> ImageNet wnid strings (reference name,
+    ``imagenet_tools.py:125-131``); the label variant above is the working
+    currency for ``to_onehot``/class-embedding lookups."""
+    return {k: np.asarray([label_to_wnid(int(v)) for v in vs])
+            for k, vs in get_coco_valid_labels().items()}
 
 
 def get_pascal_valid_wnids():
-    """PASCAL category -> ImageNet class indices (reference
+    """PASCAL category -> ImageNet wnid strings (reference name,
     ``imagenet_tools.py:134-140``)."""
-    return _valid_wnids_for(pascal_categories())
+    return {k: np.asarray([label_to_wnid(int(v)) for v in vs])
+            for k, vs in get_pascal_valid_labels().items()}
 
 
 def coco_to_imagenet_labels(coco_name: str):

@@ -218,8 +218,14 @@ class TestImagenetTools:
 
     def test_valid_wnids_tables(self):
         from pix2latent_tpu.utils import imagenet_tools as it
+        labels = it.get_coco_valid_labels()
+        assert "dog" in labels and len(labels["dog"]) > 0
+        assert labels["dog"].dtype.kind in "iu"  # class indices
         wnids = it.get_coco_valid_wnids()
-        assert "dog" in wnids and len(wnids["dog"]) > 0
+        assert "dog" in wnids and len(wnids["dog"]) == len(labels["dog"])
+        # wnid-named functions return wnid STRINGS (advisor round 2, low #4)
+        assert all(str(w).startswith("n") for w in wnids["dog"])
+        assert it.wnid_to_label(str(wnids["dog"][0])) == int(labels["dog"][0])
 
 
 class TestMiscParityHelpers:

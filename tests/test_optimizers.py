@@ -426,6 +426,27 @@ class TestMultihost:
                            capture_output=True, text=True, timeout=300)
         assert "RAISED_HELPFULLY" in r.stdout, (r.stdout, r.stderr[-2000:])
 
+    def test_pod_marker_init_failure_raises_loudly(self, monkeypatch):
+        """When genuine pod markers triggered the init (>1 worker
+        hostnames), a failed jax.distributed.initialize must NOT silently
+        degrade to independent single-host runs (advisor round 2, medium)."""
+        import jax
+
+        from pix2latent_tpu.parallel import multihost
+
+        monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+        for v in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID", "MEGASCALE_COORDINATOR_ADDRESS"):
+            monkeypatch.delenv(v, raising=False)
+        assert multihost._multi_host_markers()
+
+        def boom(**kwargs):
+            raise ConnectionError("coordinator unreachable")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        with pytest.raises(RuntimeError, match="multi-host slice"):
+            multihost.initialize_multihost()
+
     def test_no_config_is_noop(self):
         """Single-process with no distributed config must not try to spin
         up a coordinator (and must not raise)."""
