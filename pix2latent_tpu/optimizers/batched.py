@@ -45,7 +45,7 @@ class BatchedBasinCMAOptimizer:
                  learning_rate: float = 0.05,
                  learnable_inputs: Optional[Dict[str, float]] = None,
                  popsize: Optional[int] = None, sigma: float = 1.0,
-                 hook_fn=None, seed: int = 0):
+                 hook_fn=None, seed: int = 0, mesh=None):
         self.model = as_model(model)
         self.loss_fn = loss_fn
         self.z_dim = int(z_dim)
@@ -56,6 +56,11 @@ class BatchedBasinCMAOptimizer:
         self.hook_fn = hook_fn
         self._key = jax.random.PRNGKey(seed)
         self.cma_params = cma.make_params(z_dim, self.popsize)
+        # optional device mesh: the concatenated [M*pop] generator batch is
+        # the data-parallel axis (same layout rule as ExecutionCore's fused
+        # path — an in-graph with_sharding_constraint, since the batch is
+        # created inside jit where device_put can't run)
+        self.mesh = mesh
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -127,6 +132,10 @@ class BatchedBasinCMAOptimizer:
                 name: jax.lax.stop_gradient(jnp.repeat(v, pop, axis=0))
                 for name, v in fixed_inputs.items()
                 if name not in self.learnable_inputs}
+            if self.mesh is not None:
+                from pix2latent_tpu.parallel.mesh import constrain_variables
+                learn = constrain_variables(learn, self.mesh)
+                fixed_rep = constrain_variables(fixed_rep, self.mesh)
 
             opt_state = adam.init(learn)
 

@@ -473,3 +473,73 @@ class TestMultihost:
         r = subprocess.run([sys.executable, "-c", code],
                            capture_output=True, text=True, timeout=300)
         assert "NOOP_OK" in r.stdout, (r.stdout, r.stderr[-2000:])
+
+
+class TestFusedCheckpointing:
+    """checkpoint_path= on the FUSED drivers (VERDICT.md round 2, item 6):
+    the fastest paths must be as crash-safe as the host loops, and resuming
+    must continue the exact trajectory (same strategy state + RNG stream)."""
+
+    def test_basincma_fused_resume_matches_uninterrupted(
+            self, model, target_and_z, tmp_path):
+        target, _ = target_and_z
+        ckpt = str(tmp_path / "fused_basincma.npz")
+
+        vm = make_vm(target, grad_free=True)
+        full = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
+        full.optimize_fused(meta_steps=4, grad_steps=3, last_grad_steps=5)
+        sigma_full = float(full.cma_state.sigma)
+        loss_full = np.asarray(full.loss)
+
+        # phase 1: two generations, checkpointed, then "crash" (the final
+        # long generation of this call runs but never touches the carry)
+        vm2 = make_vm(target, grad_free=True)
+        part = BasinCMAOptimizer(model, vm2, loss_fn, track_variables=False)
+        part.optimize_fused(meta_steps=2, grad_steps=3, last_grad_steps=5,
+                            checkpoint_path=ckpt)
+        assert os.path.exists(ckpt)
+
+        # phase 2: resume with the FULL budget -> only gens 2..3 re-run
+        vm3 = make_vm(target, grad_free=True)
+        res = BasinCMAOptimizer(model, vm3, loss_fn, track_variables=False)
+        res.optimize_fused(meta_steps=4, grad_steps=3, last_grad_steps=5,
+                           checkpoint_path=ckpt)
+        assert abs(float(res.cma_state.sigma) - sigma_full) < 1e-6
+        np.testing.assert_allclose(np.asarray(res.loss), loss_full,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_basincma_fused_records_loss_curve(self, model, target_and_z):
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = BasinCMAOptimizer(model, vm, loss_fn, track_variables=False)
+        opt.optimize_fused(meta_steps=5, grad_steps=3, last_grad_steps=5)
+        assert len(opt.losses) == 5          # one min tell loss per gen
+        assert all(np.isfinite(v) for v in opt.losses)
+
+    def test_hybrid_fused_resume_matches_uninterrupted(
+            self, model, target_and_z, tmp_path):
+        target, _ = target_and_z
+        ckpt = str(tmp_path / "fused_hybrid.npz")
+
+        def build():
+            vm = make_vm(target, grad_free=True)
+            return HybridNevergradOptimizer("TBPSA", model, vm, loss_fn,
+                                            track_variables=False)
+
+        full = build()
+        full.optimize_fused(num_samples=6, meta_steps=4, grad_steps=3,
+                            last_grad_steps=5)
+        mean_full = np.asarray(full.ng_state.mean)
+        loss_full = np.asarray(full.loss)
+
+        part = build()
+        part.optimize_fused(num_samples=6, meta_steps=2, grad_steps=3,
+                            last_grad_steps=5, checkpoint_path=ckpt)
+        res = build()
+        res.optimize_fused(num_samples=6, meta_steps=4, grad_steps=3,
+                           last_grad_steps=5, checkpoint_path=ckpt)
+        np.testing.assert_allclose(np.asarray(res.ng_state.mean), mean_full,
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.loss), loss_full,
+                                   rtol=1e-5, atol=1e-6)
+        assert len(res.losses) == 2          # gens 2..3 after resume

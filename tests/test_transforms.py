@@ -450,3 +450,59 @@ class TestFusedTransformBasinCMA:
         opt2.optimize_fused(meta_steps=5, grad_steps=6)
         assert opt2._best_loss < max(2.0 * opt1._best_loss, 0.25), (
             opt1._best_loss, opt2._best_loss)
+
+    def test_fused_results_bundle_and_loss_curve(self):
+        """The fused driver's results bundle carries REAL inverted frames
+        (not the round-2 ``[None]`` placeholder) and a per-generation loss
+        curve (VERDICT.md round 2, item 6 / weak #4)."""
+        opt, RES = self._problem()
+        META = 4
+        variables, results, loss = opt.optimize_fused(meta_steps=META,
+                                                      grad_steps=3)
+        outs, targets, candidate_out = results
+        assert outs[0] is not None
+        assert outs[0].ndim == 3 and np.isfinite(np.asarray(outs[0])).all()
+        assert targets[0].ndim == 3
+        assert candidate_out.shape == (RES, RES, 3)
+        assert len(opt.losses) == META
+        assert all(np.isfinite(v) for v in opt.losses)
+
+    def test_fused_checkpoint_resume(self, tmp_path):
+        """Kill-and-resume on the fused transform search: the carry (CMA
+        state + propagation EMA + candidate tracking) and RNG stream
+        round-trip; the resumed run matches the uninterrupted one."""
+        ckpt = str(tmp_path / "fused_tsearch.npz")
+        META, GRAD = 4, 3
+
+        full, _ = self._problem()
+        full.optimize_fused(meta_steps=META, grad_steps=GRAD)
+
+        part, _ = self._problem()
+        orig = TransformBasinCMAOptimizer._get_fused_generation
+        try:
+            def dies_on_final(self, grad_steps, meta_steps, with_tell,
+                              batched=False):
+                fn = orig(self, grad_steps, meta_steps, with_tell,
+                          batched=batched)
+                if with_tell:
+                    return fn
+
+                def boom(*a, **k):
+                    raise KeyboardInterrupt
+                return boom
+
+            TransformBasinCMAOptimizer._get_fused_generation = dies_on_final
+            with pytest.raises(KeyboardInterrupt):
+                part.optimize_fused(meta_steps=META, grad_steps=GRAD,
+                                    checkpoint_path=ckpt)
+        finally:
+            TransformBasinCMAOptimizer._get_fused_generation = orig
+        assert os.path.exists(ckpt)
+
+        res, _ = self._problem()
+        res.optimize_fused(meta_steps=META, grad_steps=GRAD,
+                           checkpoint_path=ckpt)
+        np.testing.assert_allclose(np.asarray(res._candidate),
+                                   np.asarray(full._candidate),
+                                   rtol=1e-5, atol=1e-6)
+        assert abs(res._best_loss - full._best_loss) < 1e-6
