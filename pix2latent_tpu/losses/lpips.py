@@ -288,6 +288,11 @@ class LPIPS:
         self.module = LPIPSModule(net=net, spatial=spatial, dtype=dtype)
         if params is not None:
             self.params = params
+        elif pretrained_path and os.path.exists(pretrained_path) \
+                and str(pretrained_path).endswith(".npz"):
+            # scripts/convert.py output — no torch needed at load time
+            from pix2latent_tpu.utils.params_io import load_params_npz
+            self.params = load_params_npz(pretrained_path)
         elif pretrained_path and os.path.exists(pretrained_path):
             import torch
             sd = torch.load(pretrained_path, map_location="cpu")

@@ -352,6 +352,11 @@ class BigGAN(FlaxModel):
                                      remat_from_res=remat_from_res)
         embed_module = ClassEmbeddings()
 
+        if params is None and pretrained_path \
+                and str(pretrained_path).endswith(".npz"):
+            # scripts/convert.py output — no torch needed at load time
+            from pix2latent_tpu.utils.params_io import load_params_npz
+            params = load_params_npz(pretrained_path)
         if params is not None:
             gen_params = params["generator"]
             emb_params = params["embeddings"]

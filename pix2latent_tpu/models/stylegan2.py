@@ -297,7 +297,12 @@ class StyleGAN2(FlaxModel):
                                     dtype=dtype,
                                     remat_from_res=remat_from_res)
 
-        if params is None and pretrained_path:
+        if params is None and pretrained_path \
+                and str(pretrained_path).endswith(".npz"):
+            # scripts/convert.py output — no torch needed at load time
+            from pix2latent_tpu.utils.params_io import load_params_npz
+            params = load_params_npz(pretrained_path)
+        elif params is None and pretrained_path:
             import torch
             ckpt = torch.load(pretrained_path, map_location="cpu")
             sd = ckpt.get("g_ema", ckpt)

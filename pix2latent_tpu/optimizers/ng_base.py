@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pix2latent_tpu.parallel.mesh import pad_population
-from pix2latent_tpu.strategies.registry import registry
+from pix2latent_tpu.parallel.mesh import (pad_population)
+from pix2latent_tpu.strategies.registry import (is_valid_method, registry,
+                                                resolve)
 from pix2latent_tpu.utils.misc import cprint
 
 
@@ -34,8 +35,8 @@ class _BaseNGOptimizer:
 
     def __init__(self, method: str):
         self.method = method
-        self.valid_methods = sorted(registry)
-        assert method in registry, (
+        self.valid_methods = sorted(registry) + ["Host:<backend>"]
+        assert is_valid_method(method), (
             f"unknown strategy: {method}; available: {self.valid_methods}")
         self.ng_strategy = None
         self.ng_state = None
@@ -62,7 +63,7 @@ class _BaseNGOptimizer:
                 sigma = float(s)
 
         num_samples = pad_population(num_samples, getattr(self, "mesh", None))
-        self.ng_strategy = registry[self.method](dim, num_samples, mu, sigma)
+        self.ng_strategy = resolve(self.method)(dim, num_samples, mu, sigma)
         self.ng_state = self.ng_strategy.init(self.next_key())
         self.num_samples = num_samples
         self._gf_var = (var_type, name, shape)
