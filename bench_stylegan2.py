@@ -34,7 +34,11 @@ def _build(dtype):
     from pix2latent_tpu.models.stylegan2 import StyleGAN2
     from pix2latent_tpu.optimizers import BasinCMAOptimizer
 
-    model = StyleGAN2("cars", search="z", dtype=dtype)
+    # PIX2LATENT_FUSED_MOD_BWD=1: route the style-modulation backward
+    # through the fused Pallas kernel (ops/mod_backward.py) — the A/B
+    # switch for the round-3 attack on the top profiled cost
+    fused = os.environ.get("PIX2LATENT_FUSED_MOD_BWD", "0") == "1"
+    model = StyleGAN2("cars", search="z", dtype=dtype, fused_mod_bwd=fused)
     loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=10.0, dtype=dtype)
     im = model.im_res
 

@@ -18,6 +18,9 @@ def main():
     p = base_parser(__doc__)
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint path for crash-safe resume")
+    p.add_argument("--fused", action="store_true",
+                   help="one XLA dispatch per CMA generation (the benchmark "
+                        "path: fastest, still checkpointable/resumable)")
     args = p.parse_args()
     args.grad_free = True
     model = load_biggan(args)
@@ -30,7 +33,8 @@ def main():
         meta, grad, last = 2, 5, 10
     else:
         meta, grad, last = 30, 30, 300
-    variables, outs, losses = opt.optimize(
+    drive = opt.optimize_fused if args.fused else opt.optimize
+    variables, outs, losses = drive(
         meta_steps=meta, grad_steps=grad, last_grad_steps=last,
         checkpoint_path=args.resume, active=args.active_cma)
     finish(args, opt, variables, outs, losses,

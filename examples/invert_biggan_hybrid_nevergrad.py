@@ -16,6 +16,11 @@ from pix2latent_tpu.optimizers import HybridNevergradOptimizer
 def main():
     p = base_parser(__doc__)
     p.add_argument("--ng_method", type=str, default="CMA")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path for crash-safe resume")
+    p.add_argument("--fused", action="store_true",
+                   help="one XLA dispatch per generation (Host: strategies "
+                        "excepted on the axon TPU — see CLAUDE.md)")
     args = p.parse_args()
     args.grad_free = True
     model = load_biggan(args)
@@ -28,9 +33,10 @@ def main():
         meta, grad, last = 2, 5, 10
     else:
         meta, grad, last = 30, 50, 300
-    variables, outs, losses = opt.optimize(
+    drive = opt.optimize_fused if args.fused else opt.optimize
+    variables, outs, losses = drive(
         num_samples=args.num_samples, meta_steps=meta, grad_steps=grad,
-        last_grad_steps=last)
+        last_grad_steps=last, checkpoint_path=args.resume)
     finish(args, opt, variables, outs, losses,
            f"./results/biggan_256/hybridng_{args.ng_method}")
 

@@ -32,6 +32,9 @@ def main():
                         "reference's were CPU/PIL and CMA-only). The wider "
                         "search space needs the full 50x10 budget; --smoke "
                         "only exercises the machinery")
+    p.add_argument("--fused", action="store_true",
+                   help="one XLA dispatch per generation for the phase-1 "
+                        "alignment search")
     args = p.parse_args()
     args.grad_free = False   # z is Adam-only during the transform phase
     model = load_biggan(args)
@@ -66,8 +69,8 @@ def main():
     t_opt.set_variable_propagation("z")
 
     meta, grad = (3, 4) if args.smoke else (50, 10)
-    t_vars, t_results, t_loss = t_opt.optimize(meta_steps=meta,
-                                               grad_steps=grad)
+    t_drive = t_opt.optimize_fused if args.fused else t_opt.optimize
+    t_vars, t_results, t_loss = t_drive(meta_steps=meta, grad_steps=grad)
     best_t = t_opt.get_candidate()
     print("best transform:", best_t)
 

@@ -16,7 +16,12 @@ from pix2latent_tpu.optimizers import BasinCMAOptimizer
 
 
 def main():
-    args = base_parser(__doc__, model="stylegan2").parse_args()
+    p = base_parser(__doc__, model="stylegan2")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path for crash-safe resume")
+    p.add_argument("--fused", action="store_true",
+                   help="one XLA dispatch per CMA generation")
+    args = p.parse_args()
     args.grad_free = True
     model = load_stylegan2(args)
     im = model.im_res
@@ -31,9 +36,11 @@ def main():
         meta, grad, last = 2, 4, 8
     else:
         meta, grad, last = 30, 30, 300
-    variables, outs, losses = opt.optimize(meta_steps=meta, grad_steps=grad,
-                                           last_grad_steps=last,
-                                           active=args.active_cma)
+    drive = opt.optimize_fused if args.fused else opt.optimize
+    variables, outs, losses = drive(meta_steps=meta, grad_steps=grad,
+                                    last_grad_steps=last,
+                                    checkpoint_path=args.resume,
+                                    active=args.active_cma)
     finish(args, opt, variables, outs, losses,
            f"./results/stylegan2_{args.model}/basincma")
 

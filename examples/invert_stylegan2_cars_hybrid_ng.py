@@ -17,6 +17,10 @@ from pix2latent_tpu.optimizers import HybridNevergradOptimizer
 def main():
     p = base_parser(__doc__, model="stylegan2")
     p.add_argument("--ng_method", type=str, default="CMA")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path for crash-safe resume")
+    p.add_argument("--fused", action="store_true",
+                   help="one XLA dispatch per generation")
     args = p.parse_args()
     args.grad_free = True
     model = load_stylegan2(args)
@@ -32,9 +36,10 @@ def main():
         meta, grad, last = 2, 4, 8
     else:
         meta, grad, last = 30, 50, 300
-    variables, outs, losses = opt.optimize(
+    drive = opt.optimize_fused if args.fused else opt.optimize
+    variables, outs, losses = drive(
         num_samples=args.num_samples, meta_steps=meta, grad_steps=grad,
-        last_grad_steps=last)
+        last_grad_steps=last, checkpoint_path=args.resume)
     finish(args, opt, variables, outs, losses,
            f"./results/stylegan2_{args.model}/hybridng_{args.ng_method}")
 

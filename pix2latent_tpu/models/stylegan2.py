@@ -97,6 +97,10 @@ class ModulatedConv(nn.Module):
     demodulate: bool = True
     up: bool = False
     dtype: Any = jnp.float32
+    # route the modulation backward through the fused Pallas kernel
+    # (ops/mod_backward.py): one pass over the conv input-gradient emits
+    # both g_x and the per-channel style grad g_s
+    fused_mod_bwd: bool = False
 
     @nn.compact
     def __call__(self, x, style):
@@ -111,7 +115,8 @@ class ModulatedConv(nn.Module):
                         name="modulation")(style)
 
         w = (weight * scale).astype(self.dtype)              # [k,k,i,o]
-        x_mod = x.astype(self.dtype) * s[:, None, None, :]
+        from pix2latent_tpu.ops.mod_backward import modulate
+        x_mod = modulate(x.astype(self.dtype), s, fused=self.fused_mod_bwd)
 
         if self.up:
             # conv_transpose(stride 2, VALID) == dilated conv with flipped,
@@ -156,11 +161,13 @@ class StyledConv(nn.Module):
     kernel_size: int = 3
     up: bool = False
     dtype: Any = jnp.float32
+    fused_mod_bwd: bool = False
 
     @nn.compact
     def __call__(self, x, style, noise):
         y = ModulatedConv(self.out_ch, self.kernel_size, up=self.up,
-                          dtype=self.dtype, name="conv")(x, style)
+                          dtype=self.dtype, name="conv",
+                          fused_mod_bwd=self.fused_mod_bwd)(x, style)
         y = NoiseInjection(name="noise")(y, noise)
         bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
         return fused_leaky_relu(y, bias)
@@ -169,11 +176,13 @@ class StyledConv(nn.Module):
 class ToRGB(nn.Module):
     upsample: bool = True
     dtype: Any = jnp.float32
+    fused_mod_bwd: bool = False
 
     @nn.compact
     def __call__(self, x, style, skip=None):
         y = ModulatedConv(3, 1, demodulate=False, dtype=self.dtype,
-                          name="conv")(x, style)
+                          name="conv",
+                          fused_mod_bwd=self.fused_mod_bwd)(x, style)
         bias = self.param("bias", nn.initializers.zeros, (3,))
         # RGB accumulation in f32 (skip-sum across all resolutions)
         y = y.astype(jnp.float32) + bias
@@ -197,6 +206,9 @@ class StyleGAN2Generator(nn.Module):
     # resolution; 0 disables. FFHQ-1024 x pop-22 needs it to fit one chip
     # (SURVEY.md hard part f).
     remat_from_res: int = 0
+    # fused Pallas modulation backward (ops/mod_backward.py) for all
+    # modulated convs — opt-in, measured before defaulting
+    fused_mod_bwd: bool = False
 
     @property
     def log_size(self):
@@ -229,8 +241,12 @@ class StyleGAN2Generator(nn.Module):
         self.const_input = self.param(
             "input", nn.initializers.normal(1.0),
             (1, 4, 4, channels_for(4, cm)))
-        self.conv1 = StyledConv(channels_for(4, cm), dtype=self.dtype, name="conv1")
-        self.to_rgb1 = ToRGB(upsample=False, dtype=self.dtype, name="to_rgb1")
+        self.conv1 = StyledConv(channels_for(4, cm), dtype=self.dtype,
+                                name="conv1",
+                                fused_mod_bwd=self.fused_mod_bwd)
+        self.to_rgb1 = ToRGB(upsample=False, dtype=self.dtype,
+                             name="to_rgb1",
+                             fused_mod_bwd=self.fused_mod_bwd)
         convs, to_rgbs = [], []
         for li in range(self.log_size - 2):
             res = 2 ** (li + 3)
@@ -239,10 +255,13 @@ class StyleGAN2Generator(nn.Module):
             conv_cls = nn.remat(StyledConv) if use_remat else StyledConv
             rgb_cls = nn.remat(ToRGB) if use_remat else ToRGB
             convs.append(conv_cls(ch, up=True, dtype=self.dtype,
-                                  name=f"convs_{2 * li}"))
+                                  name=f"convs_{2 * li}",
+                                  fused_mod_bwd=self.fused_mod_bwd))
             convs.append(conv_cls(ch, dtype=self.dtype,
-                                  name=f"convs_{2 * li + 1}"))
-            to_rgbs.append(rgb_cls(dtype=self.dtype, name=f"to_rgbs_{li}"))
+                                  name=f"convs_{2 * li + 1}",
+                                  fused_mod_bwd=self.fused_mod_bwd))
+            to_rgbs.append(rgb_cls(dtype=self.dtype, name=f"to_rgbs_{li}",
+                                   fused_mod_bwd=self.fused_mod_bwd))
         self.convs = convs
         self.to_rgbs = to_rgbs
 
@@ -287,7 +306,7 @@ class StyleGAN2(FlaxModel):
     def __init__(self, model: str = "cars", search: str = "z", params=None,
                  pretrained_path: Optional[str] = None, seed: int = 0,
                  channel_multiplier: int = 2, dtype: Any = jnp.float32,
-                 remat_from_res: int = 0):
+                 remat_from_res: int = 0, fused_mod_bwd: bool = False):
         assert model in self.MODELS, model
         assert search in ("z", "w+"), search
         self.im_res = self.MODELS[model]
@@ -295,7 +314,8 @@ class StyleGAN2(FlaxModel):
         module = StyleGAN2Generator(im_res=self.im_res,
                                     channel_multiplier=channel_multiplier,
                                     dtype=dtype,
-                                    remat_from_res=remat_from_res)
+                                    remat_from_res=remat_from_res,
+                                    fused_mod_bwd=fused_mod_bwd)
 
         if params is None and pretrained_path \
                 and str(pretrained_path).endswith(".npz"):
