@@ -45,7 +45,11 @@ class _BaseNGOptimizer:
 
     def setup_ng(self, var_manager, num_samples: int, budget=None):
         """Initialize the strategy for the grad-free variable (reference
-        ``base_ng_optimizer.py:51-89``; ``budget`` kept for API parity)."""
+        ``base_ng_optimizer.py:51-89``). ``budget`` is the total evaluation
+        count (nevergrad's definition, generations x population); it is
+        forwarded to factories that route or scale on it (``NGOpt``'s
+        portfolio branches, ``MetaRecentering``'s recentering scale) and
+        ignored by fixed algorithms."""
         gf = var_manager.grad_free_variables()
         assert len(gf) == 1, (
             "currently only a single variable can be optimized gradient-free "
@@ -63,7 +67,16 @@ class _BaseNGOptimizer:
                 sigma = float(s)
 
         num_samples = pad_population(num_samples, getattr(self, "mesh", None))
-        self.ng_strategy = resolve(self.method)(dim, num_samples, mu, sigma)
+        factory = resolve(self.method)
+        kwargs = {}
+        if budget is not None:
+            import inspect
+            try:
+                if "budget" in inspect.signature(factory).parameters:
+                    kwargs["budget"] = budget
+            except (TypeError, ValueError):
+                pass
+        self.ng_strategy = factory(dim, num_samples, mu, sigma, **kwargs)
         self.ng_state = self.ng_strategy.init(self.next_key())
         self.num_samples = num_samples
         self._gf_var = (var_type, name, shape)

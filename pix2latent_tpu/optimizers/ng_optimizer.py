@@ -26,7 +26,8 @@ class NevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
         ask→eval→tell generations at population ``num_samples``, then
         ``grad_steps`` Adam finetune on a final ask. ``checkpoint_path``
         makes the generation loop crash-safe/resumable."""
-        self.setup_ng(self.var_manager, num_samples, budget=meta_steps)
+        self.setup_ng(self.var_manager, num_samples,
+                      budget=meta_steps * num_samples)
         self.losses, self.outs = [], []
         total_steps = meta_steps + grad_steps
         timer = Timer()

@@ -101,9 +101,13 @@ def make_params(n: int, popsize: Optional[int] = None,
         # negative weights, scaled per the tutorial's eq. 53 guards
         w_neg = w_raw[mu:]                           # negative tail
         mueff_neg = float(w_neg.sum() ** 2 / np.sum(w_neg ** 2))
-        a_mu = 1.0 + c1 / cmu
+        # cmu = 0 when mueff = 1 (popsize 2): the cmu-normalized guards
+        # are vacuous (the negative weights never enter the rank-mu
+        # update) — their limit is +inf, leaving a_mueff to set the scale
+        a_mu = 1.0 + c1 / cmu if cmu > 0.0 else np.inf
         a_mueff = 1.0 + 2.0 * mueff_neg / (mueff + 2.0)
-        a_posdef = (1.0 - c1 - cmu) / (nf * cmu)
+        a_posdef = ((1.0 - c1 - cmu) / (nf * cmu) if cmu > 0.0
+                    else np.inf)
         scale = min(a_mu, a_mueff, a_posdef) / abs(w_neg.sum())
         weights[mu:] = (w_neg * scale).astype(np.float32)
 

@@ -34,9 +34,14 @@ Name                      Algorithm
 ``DiagonalCMA``           sep-CMA-ES (diagonal covariance, O(d) updates) —
                           nevergrad's ``DiagonalCMA``; the right trade for
                           very high-dimensional searches (w+ ~ 10k dims)
-``NGOpt``                 simplified continuous-case selector: sep-CMA for
-                          d>=130, aCMA-ES otherwise (documented stand-in
-                          for nevergrad's portfolio tree)
+``NGOpt``                 nevergrad's continuous-case portfolio selector
+                          (the ``NGOptBase`` branch structure over budget,
+                          dimension and workers; see ``NGOptSelector``) —
+                          routes to MetaRecentering / TBPSA / OnePlusOne /
+                          DE / aCMA / sep-CMA
+``MetaRecentering``       one-shot budget-scaled sampling search
+                          (Meunier et al. 2020): Latin-hypercube normal
+                          samples at scale sqrt(log(budget)/d)
 ``TBPSA``                 nevergrad's Test-Based Population Size Adaptation
                           ES: per-candidate log-normal sigma self-adaptation,
                           top-quarter recombination of center AND sigma
@@ -222,16 +227,132 @@ class DiagonalCMAStrategy(_Base):
         return state.mean
 
 
-def NGOptSelector(dim, num_samples, mu=None, sigma=1.0):
-    """Simplified stand-in for nevergrad's ``NGOpt`` portfolio selector,
-    restricted to this workload's regime (continuous, non-noisy,
-    fixed-length float vector, parallel evaluations): high dimension gets
-    sep-CMA (O(d) updates, as NGOpt routes large-d problems to
-    ``DiagonalCMA``), otherwise full aCMA-ES. NOT the full nevergrad
-    decision tree (no discrete/noisy/portfolio branches — out of scope,
-    see the module docstring table)."""
-    cls = DiagonalCMAStrategy if dim >= 130 else ActiveCMAStrategy
-    return cls(dim, num_samples, mu, sigma)
+class MetaRecenteringStrategy(_Base):
+    """One-shot "meta-recentering" sampling search (Meunier, Teytaud et al.
+    2020; nevergrad's ``MetaRecentering``/``MetaTuneRecentering`` in
+    ``optimizerlib/oneshot.py``): sample the whole budget from
+    ``N(mu, (scale * sigma)^2 I)`` with the recentering scale chosen from
+    (budget, dimension) instead of a fixed sigma, and recommend the best
+    point seen. The scale rules are the published ones:
+
+    - ``autotune=True`` (MetaTuneRecentering): ``scale = sqrt(log(b) / d)``
+      — optimal for the large-d regime where the mass of N(0, I) sits on
+      the sqrt(d) shell and small budgets should sample well inside it.
+    - ``autotune=False`` (MetaRecentering):
+      ``scale = (1 + log(b)) / (4 * log(d))``.
+
+    Deviation from nevergrad, documented: stratification uses a Latin
+    hypercube (one sample per axis-stratum per dimension, O(n*d) on
+    device) instead of scrambled Hammersley — Halton radical inverses
+    per-prime-base are host/serial-shaped, while LHS gives the same
+    variance-reduction intent as a few jnp ops. ``ask`` re-stratifies per
+    generation, so multi-generation use degrades gracefully to stratified
+    random search; ``tell`` keeps the best (one-shot recommendation
+    semantics, like ``RandomSearch``)."""
+
+    def __init__(self, dim, num_samples, mu=None, sigma=1.0, budget=None,
+                 autotune=True):
+        super().__init__(dim, num_samples, mu, sigma)
+        b = float(budget if budget is not None else num_samples)
+        b = max(b, 2.0)
+        d = float(max(self.dim, 2))
+        if autotune:
+            self.scale = float(np.sqrt(np.log(b) / d))
+        else:
+            self.scale = float((1.0 + np.log(b)) / (4.0 * np.log(d)))
+
+    class State(NamedTuple):
+        best_x: jax.Array
+        best_f: jax.Array
+
+    def init(self, key):
+        return self.State(self.mu0, jnp.asarray(jnp.inf, jnp.float32))
+
+    def ask(self, state, key):
+        n = self.num_samples
+        k_perm, k_jit = jax.random.split(key)
+        # Latin hypercube: independent per-dimension permutations of the n
+        # strata, jittered uniformly within each stratum
+        perms = jax.random.permutation(
+            k_perm, jnp.tile(jnp.arange(n)[:, None], (1, self.dim)),
+            axis=0, independent=True)                       # [n, d]
+        u = (perms + jax.random.uniform(k_jit, (n, self.dim))) / n
+        # map to N(0,1) through the Gaussian quantile, clipped away from
+        # the 0/1 endpoints (ndtri(0) = -inf)
+        eps = jax.scipy.special.ndtri(jnp.clip(u, 1e-7, 1.0 - 1e-7))
+        return self.mu0[None] + self.scale * self.sigma0 * eps
+
+    def tell(self, state, x, loss, aux=None):
+        i = jnp.argmin(loss)
+        best_x = jnp.where(loss[i] < state.best_f, x[i], state.best_x)
+        best_f = jnp.minimum(loss[i], state.best_f)
+        return self.State(best_x, best_f)
+
+    def mean(self, state):
+        return state.best_x
+
+
+def NGOptSelector(dim, num_samples, mu=None, sigma=1.0, budget=None,
+                  noisy=False):
+    """Nevergrad's ``NGOpt`` portfolio selector, transcribed for this
+    workload's regime (continuous, fixed-length float vector, parallel
+    evaluations = ``num_samples`` workers per generation). The branch
+    structure follows ``NGOptBase._select_optimizer_cls``
+    (nevergrad ``optimizerlib.py``) with each leaf mapped to its on-device
+    counterpart; leaves whose algorithms are host/serial-shaped map to the
+    nearest on-device method, loudly documented:
+
+    ===========================================  ==========================
+    nevergrad leaf                               on-device mapping
+    ===========================================  ==========================
+    TBPSA (noisy continuous)                     ``TBPSAStrategy``
+    MetaTuneRecentering (workers > budget/2,     ``MetaRecenteringStrategy``
+      or budget < dim, within parallel branch)     (autotune scale)
+    NaiveTBPSA (merely parallel:                 ``TBPSAStrategy``
+      workers > budget/5)
+    chainCMAPowell (1 worker, budget > 6000,     ``ActiveCMAStrategy``
+      d > 7)                                       (no Powell: serial
+                                                    line-searches)
+    Cobyla (1 worker, budget < 30d, d <= 30)     ``OnePlusOneStrategy``
+                                                   (Cobyla is sequential
+                                                    simplex-shaped)
+    OnePlusOne (1 worker, budget < 30d, d > 30)  ``OnePlusOneStrategy``
+    DE (default, d > 2000)                       ``DEStrategy``
+    CMA (default)                                ``ActiveCMAStrategy``
+                                                   (nevergrad CMA default)
+    ===========================================  ==========================
+
+    With ``budget=None`` (strategy constructed without a known horizon) the
+    parallel-regime branches can't be evaluated; the selector falls back to
+    dimension-only routing: ``DiagonalCMA`` for d >= 130 (nevergrad routes
+    large-d continuous problems there) else aCMA-ES — the round-2 stand-in
+    behavior, kept for compatibility. The NG drivers pass
+    ``budget = meta_steps * num_samples`` (total evaluations, nevergrad's
+    definition) via ``setup_ng``.
+    """
+    if noisy:
+        return TBPSAStrategy(dim, num_samples, mu, sigma)
+    if budget is None:
+        cls = DiagonalCMAStrategy if dim >= 130 else ActiveCMAStrategy
+        return cls(dim, num_samples, mu, sigma)
+    budget = float(budget)
+    workers = num_samples
+    if workers > budget / 5.0:
+        if workers > budget / 2.0 or budget < dim:
+            return MetaRecenteringStrategy(dim, num_samples, mu, sigma,
+                                           budget=budget, autotune=True)
+        return TBPSAStrategy(dim, num_samples, mu, sigma)
+    if workers == 1 and budget > 6000.0 and dim > 7:
+        # nevergrad: chainCMAPowell — CMA leaf here (Powell line searches
+        # are serial host-shaped; documented mapping above)
+        return ActiveCMAStrategy(dim, num_samples, mu, sigma)
+    if workers == 1 and budget < 30.0 * dim:
+        # nevergrad: OnePlusOne for d > 30, Cobyla otherwise — both map to
+        # the (1+lambda) hill climber on device
+        return OnePlusOneStrategy(dim, num_samples, mu, sigma)
+    if dim > 2000:
+        return DEStrategy(dim, num_samples, mu, sigma)
+    return ActiveCMAStrategy(dim, num_samples, mu, sigma)
 
 
 class TBPSAStrategy(_Base):
@@ -489,6 +610,7 @@ registry = {
     "ActiveCMA": ActiveCMAStrategy,
     "DiagonalCMA": DiagonalCMAStrategy,
     "NGOpt": NGOptSelector,
+    "MetaRecentering": MetaRecenteringStrategy,
     "TBPSA": TBPSAStrategy,
     "OnePlusOne": OnePlusOneStrategy,
     "DE": DEStrategy,

@@ -45,8 +45,9 @@ class TestRegistryConvergence:
         # hill climbers need more generations than recombining strategies
         gens = 150 if name == "OnePlusOne" else 60
         first, final = run_strategy(name, gens=gens)
-        # RandomSearch converges slowly; others should crush the sphere
-        bound = 1.5 if name == "RandomSearch" else 0.15
+        # keep-best samplers (RandomSearch, one-shot MetaRecentering)
+        # converge slowly; adaptive strategies should crush the sphere
+        bound = 1.5 if name in ("RandomSearch", "MetaRecentering") else 0.15
         assert final < min(first, bound), (name, first, final)
 
     def test_tbpsa_beats_random_search(self):
@@ -107,6 +108,60 @@ class TestTwoPointsDE:
         assert not np.allclose(np.asarray(x1), np.asarray(x2))
 
 
+class TestMetaRecentering:
+    def test_latin_hypercube_stratification(self, key):
+        """Each dimension's n samples must land in n distinct strata — the
+        variance-reduction property the quasi-random sampling is for."""
+        from pix2latent_tpu.strategies.registry import MetaRecenteringStrategy
+        from scipy.stats import norm as scipy_norm
+        n, d = 16, 5
+        strat = MetaRecenteringStrategy(d, n, sigma=1.0, budget=n)
+        x = strat.ask(strat.init(key), key)
+        assert x.shape == (n, d)
+        # undo the scale and map back to [0,1): stratum = floor(u * n)
+        u = scipy_norm.cdf(np.asarray(x) / strat.scale)
+        strata = np.floor(u * n).astype(int)
+        for j in range(d):
+            assert sorted(strata[:, j]) == list(range(n)), j
+
+    def test_scale_rules(self):
+        """autotune: sqrt(log(b)/d); plain: (1+log(b))/(4 log(d)) —
+        Meunier et al. 2020 / nevergrad SamplingSearch(autorescale=...)."""
+        from pix2latent_tpu.strategies.registry import MetaRecenteringStrategy
+        s = MetaRecenteringStrategy(128, 18, budget=540, autotune=True)
+        np.testing.assert_allclose(s.scale, np.sqrt(np.log(540.0) / 128.0),
+                                   rtol=1e-12)
+        s = MetaRecenteringStrategy(128, 18, budget=540, autotune=False)
+        np.testing.assert_allclose(
+            s.scale, (1.0 + np.log(540.0)) / (4.0 * np.log(128.0)),
+            rtol=1e-12)
+
+    def test_beats_fixed_sigma_random_search_small_budget(self, key):
+        """The point of recentering: at small budget in high-d, sampling at
+        the budget-tuned scale finds better points than sigma=1 sampling
+        when the optimum is well inside the unit shell."""
+        from pix2latent_tpu.strategies.registry import (
+            MetaRecenteringStrategy, RandomSearchStrategy)
+        d, n, gens = 64, 16, 4
+        x_star = jnp.full((d,), 0.15)
+
+        def f(x):
+            return jnp.sum((x - x_star[None]) ** 2, axis=-1)
+
+        def run(strat):
+            k = key
+            state = strat.init(k)
+            for _ in range(gens):
+                k, kk = jax.random.split(k)
+                x = strat.ask(state, kk)
+                state = strat.tell(state, x, f(x))
+            return float(f(strat.mean(state)[None])[0])
+
+        meta = run(MetaRecenteringStrategy(d, n, sigma=1.0, budget=n * gens))
+        naive = run(RandomSearchStrategy(d, n, sigma=1.0))
+        assert meta < naive
+
+
 class TestDiagonalCMA:
     def test_diagonal_variances_adapt_to_scaling(self, key):
         """On an axis-scaled sphere the learned diagonal must allocate more
@@ -129,7 +184,8 @@ class TestDiagonalCMA:
         assert diag[0] * 20 < diag[1:].mean()
         assert float(f(strat.mean(state)[None])[0]) < 1e-3
 
-    def test_ngopt_routes_by_dimension(self):
+    def test_ngopt_routes_by_dimension_without_budget(self):
+        """No budget -> the dimension-only fallback (round-2 behavior)."""
         from pix2latent_tpu.strategies.registry import (
             ActiveCMAStrategy, DiagonalCMAStrategy, registry)
         assert isinstance(registry["NGOpt"](8, 12), ActiveCMAStrategy)
@@ -162,6 +218,63 @@ class TestDiagonalCMA:
         final = float(f(strat.mean(state)[None])[0])
         # d=512 needs O(d) generations; 400 gens should cut the sphere hard
         assert final < 0.1 * first
+
+    def test_ngopt_portfolio_branches_with_budget(self):
+        """The NGOptBase decision tree (nevergrad optimizerlib) mapped to
+        on-device leaves: each (dim, workers, budget) regime routes to the
+        documented strategy (see ``NGOptSelector``'s mapping table)."""
+        from pix2latent_tpu.strategies.registry import (
+            ActiveCMAStrategy, DEStrategy, MetaRecenteringStrategy,
+            NGOptSelector, OnePlusOneStrategy, TBPSAStrategy)
+        # fully-parallel one-shot: workers > budget/2
+        assert isinstance(NGOptSelector(128, 18, budget=20),
+                          MetaRecenteringStrategy)
+        # parallel branch, budget < dim: also one-shot recentering
+        assert isinstance(NGOptSelector(512, 22, budget=100),
+                          MetaRecenteringStrategy)
+        # merely parallel (budget/5 < workers <= budget/2, budget >= dim)
+        assert isinstance(NGOptSelector(16, 10, budget=40), TBPSAStrategy)
+        # sequential, small budget relative to dimension: hill climber
+        assert isinstance(NGOptSelector(128, 1, budget=1000),
+                          OnePlusOneStrategy)
+        # sequential, large budget: nevergrad's chainCMAPowell -> aCMA leaf
+        assert isinstance(NGOptSelector(300, 1, budget=7000),
+                          ActiveCMAStrategy)
+        # default regime, very high dimension: DE
+        assert isinstance(NGOptSelector(4096, 8, budget=200000), DEStrategy)
+        # default regime: aCMA (nevergrad's CMA default mode)
+        assert isinstance(NGOptSelector(128, 18, budget=20000),
+                          ActiveCMAStrategy)
+        # noisy objective: TBPSA regardless of the rest
+        assert isinstance(NGOptSelector(128, 18, budget=20000, noisy=True),
+                          TBPSAStrategy)
+
+    def test_setup_ng_forwards_budget_to_ngopt(self, key):
+        """The NG drivers pass budget = meta_steps * num_samples; the
+        BasinCMA-like regime (pop 18, 30 gens, d=128) must land in the
+        default aCMA leaf, not the no-budget fallback."""
+        from pix2latent_tpu.optimizers.ng_base import _BaseNGOptimizer
+        from pix2latent_tpu.strategies.registry import ActiveCMAStrategy
+        from pix2latent_tpu import VariableManager
+        import pix2latent_tpu.distribution as dist
+
+        vm = VariableManager()
+        vm.register(variable_name="z", shape=(128,), grad_free=True,
+                    distribution=dist.TruncatedNormalModulo(sigma=1.0),
+                    var_type="input")
+
+        class Driver(_BaseNGOptimizer):
+            def __init__(self):
+                _BaseNGOptimizer.__init__(self, method="NGOpt")
+                self._k = jax.random.PRNGKey(0)
+
+            def next_key(self):
+                self._k, k = jax.random.split(self._k)
+                return k
+
+        drv = Driver()
+        drv.setup_ng(vm, num_samples=18, budget=30 * 18)
+        assert isinstance(drv.ng_strategy, ActiveCMAStrategy)
 
     def test_popsize_one_no_nan(self, key):
         """num_samples=1 must not NaN the recombination weights (guarded
