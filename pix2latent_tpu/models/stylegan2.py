@@ -115,8 +115,14 @@ class ModulatedConv(nn.Module):
                         name="modulation")(style)
 
         w = (weight * scale).astype(self.dtype)              # [k,k,i,o]
-        from pix2latent_tpu.ops.mod_backward import modulate
-        x_mod = modulate(x.astype(self.dtype), s, fused=self.fused_mod_bwd)
+        if self.fused_mod_bwd:
+            # import gated on the opt-in flag: ops/mod_backward pulls in
+            # pallas at module scope, which must not become a hard
+            # dependency of the default (plain-XLA) forward
+            from pix2latent_tpu.ops.mod_backward import modulate
+            x_mod = modulate(x.astype(self.dtype), s, fused=True)
+        else:
+            x_mod = x.astype(self.dtype) * s[:, None, None, :]
 
         if self.up:
             # conv_transpose(stride 2, VALID) == dilated conv with flipped,

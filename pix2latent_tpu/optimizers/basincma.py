@@ -110,10 +110,11 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         total_steps = meta_steps * grad_steps + last_grad_steps
         if not hasattr(self, "_fused_gens"):
             self._fused_gens = {}
-        # the traced program embeds cma_params (weights), so the cache key
-        # must cover everything that determines them, not just grad_steps
+        # the traced program embeds cma_params (weights) and the grad-free
+        # variable binding, so the cache key must cover everything that
+        # determines them, not just grad_steps
         cache_key = (grad_steps, self.cma_params.popsize,
-                     self.cma_params.active)
+                     self.cma_params.active, self._gf_var)
         if cache_key not in self._fused_gens:
             self._fused_gens[cache_key] = \
                 self._build_fused_generation(grad_steps)
@@ -123,22 +124,16 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         self.losses, self.outs = [], []
         state = self.cma_state
 
-        from pix2latent_tpu.utils.checkpoint import (checkpoint_exists,
-                                                     load_checkpoint,
-                                                     save_checkpoint)
-        start = 0
-        if checkpoint_path and checkpoint_exists(checkpoint_path):
-            saved = load_checkpoint(
-                checkpoint_path,
-                {"state": state, "key": self._key,
-                 "meta_iter": jnp.asarray(0, jnp.int32)})
-            state, self._key = saved["state"], saved["key"]
-            start = int(saved["meta_iter"])
-            cprint(f"(checkpoint) resumed fused basin-cma at generation "
-                   f"{start}", "y")
+        from pix2latent_tpu.utils.checkpoint import FusedCheckpointer
+        ckpt = FusedCheckpointer(checkpoint_path, "fused basin-cma",
+                                 every=checkpoint_every)
+        start = ckpt.resume({"state": state, "key": self._key})
+        if ckpt.loaded is not None:
+            state, self._key = ckpt.loaded["state"], ckpt.loaded["key"]
 
         prev_min = None
         for gi in range(start, meta_steps):
+            carry_in, key_in = state, self._key
             state, gen_min = gen_fn(self.model.params, defaults, state,
                                     self.next_key(),
                                     jnp.asarray(gi, jnp.int32))
@@ -149,14 +144,14 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                     cprint(f"(basin-cma fused) gen {gi}/{meta_steps} "
                            f"min tell loss {self.losses[-1]:.4f}", "c")
             prev_min = gen_min
-            if checkpoint_path and (gi + 1) % checkpoint_every == 0:
-                save_checkpoint(checkpoint_path,
-                                {"state": state, "key": self._key,
-                                 "meta_iter": jnp.asarray(gi + 1,
-                                                          jnp.int32)})
+            # carry_in (generation gi's input) is materialized: it is the
+            # loaded/initial host state at gi == start, or gen gi-1's
+            # output whose min-loss was just fetched
+            ckpt.save(gi, {"state": carry_in, "key": key_in})
         if prev_min is not None:
             self.losses.append(float(prev_min))
         self.cma_state = state
+        ckpt.finalize(meta_steps, {"state": state, "key": self._key})
 
         # final long generation (skips the tell, reference semantics)
         variables = self.cma_init(self.var_manager)

@@ -66,7 +66,14 @@ class _BaseNGOptimizer:
             if s is not None:
                 sigma = float(s)
 
+        requested = int(num_samples)
         num_samples = pad_population(num_samples, getattr(self, "mesh", None))
+        if budget is not None and num_samples != requested:
+            # keep budget consistent with the padded worker count: callers
+            # compute budget = generations x requested population, and the
+            # NGOpt routing branches compare workers against budget — mixed
+            # units would silently flip branches on meshed runs only
+            budget = budget * num_samples / max(requested, 1)
         factory = resolve(self.method)
         kwargs = {}
         if budget is not None:
@@ -81,6 +88,21 @@ class _BaseNGOptimizer:
         self.num_samples = num_samples
         self._gf_var = (var_type, name, shape)
         cprint(f"({self.method}) number of samples: {num_samples}", "y")
+
+    def reject_host_checkpoint(self, checkpoint_path):
+        """``Host:`` strategies cannot checkpoint: the real optimizer state
+        lives in the wrapped host Python object (``strategies/host.py``
+        saves only the i32 ordering token), so a resumed run would print
+        "resumed at generation N" while the search silently restarts from
+        scratch. Refuse loudly instead of degrading silently."""
+        from pix2latent_tpu.strategies.host import HostStrategy
+        if checkpoint_path and isinstance(self.ng_strategy, HostStrategy):
+            raise ValueError(
+                f"checkpoint_path is unsupported with '{self.method}': "
+                "Host:<backend> strategies keep their state in the wrapped "
+                "host optimizer object, which cannot be serialized — a "
+                "resume would silently restart the search. Drop "
+                "checkpoint_path or use an on-device strategy.")
 
     def ng_init(self, var_manager, num_samples: Optional[int] = None, key=None):
         """Fresh population with the grad-free variable filled from ask

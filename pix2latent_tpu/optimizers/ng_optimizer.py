@@ -28,6 +28,7 @@ class NevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
         makes the generation loop crash-safe/resumable."""
         self.setup_ng(self.var_manager, num_samples,
                       budget=meta_steps * num_samples)
+        self.reject_host_checkpoint(checkpoint_path)
         self.losses, self.outs = [], []
         total_steps = meta_steps + grad_steps
         timer = Timer()
@@ -139,15 +140,16 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
 
         self.setup_ng(self.var_manager, num_samples,
                       budget=meta_steps * num_samples)
+        self.reject_host_checkpoint(checkpoint_path)
         self.losses, self.outs = [], []
         total_steps = meta_steps * grad_steps + last_grad_steps
         # memoize the built generation (same rule as basincma.py's
         # _fused_gens): the traced program closes over the strategy object,
-        # so the key covers everything that determines its params
-        import numpy as np
-        strat = self.ng_strategy
-        cache_key = (grad_steps, self.num_samples, self.method, strat.dim,
-                     strat.sigma0, np.asarray(strat.mu0).tobytes())
+        # so the key must cover everything that parametrizes its behavior —
+        # cache_token() includes budget-derived hyperparameters (NGOpt's
+        # routed leaf, MetaRecentering's scale) and is per-instance for
+        # mutable Host: strategies
+        cache_key = (grad_steps, self.ng_strategy.cache_token())
         if not hasattr(self, "_fused_gens"):
             self._fused_gens = {}
         if cache_key not in self._fused_gens:
@@ -158,22 +160,17 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
 
         state = self.ng_state
 
-        from pix2latent_tpu.utils.checkpoint import (checkpoint_exists,
-                                                     load_checkpoint,
-                                                     save_checkpoint)
-        start = 0
-        if checkpoint_path and checkpoint_exists(checkpoint_path):
-            saved = load_checkpoint(
-                checkpoint_path,
-                {"state": state, "key": self._key,
-                 "meta_iter": jnp.asarray(0, jnp.int32)})
-            state, self._key = saved["state"], saved["key"]
-            start = int(saved["meta_iter"])
-            cprint(f"(checkpoint) resumed fused hybrid-{self.method} at "
-                   f"generation {start}", "y")
+        from pix2latent_tpu.utils.checkpoint import FusedCheckpointer
+        ckpt = FusedCheckpointer(checkpoint_path,
+                                 f"fused hybrid-{self.method}",
+                                 every=checkpoint_every)
+        start = ckpt.resume({"state": state, "key": self._key})
+        if ckpt.loaded is not None:
+            state, self._key = ckpt.loaded["state"], ckpt.loaded["key"]
 
         prev_min = None
         for gi in range(start, meta_steps):
+            carry_in, key_in = state, self._key
             state, gen_min = gen_fn(self.model.params, defaults, state,
                                     self.next_key(),
                                     jnp.asarray(gi, jnp.int32))
@@ -185,14 +182,14 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
                            f"{gi}/{meta_steps} min tell loss "
                            f"{self.losses[-1]:.4f}", "c")
             prev_min = gen_min
-            if checkpoint_path and (gi + 1) % checkpoint_every == 0:
-                save_checkpoint(checkpoint_path,
-                                {"state": state, "key": self._key,
-                                 "meta_iter": jnp.asarray(gi + 1,
-                                                          jnp.int32)})
+            # carry_in (generation gi's input) is materialized: it is the
+            # loaded/initial host state at gi == start, or gen gi-1's
+            # output whose min-loss was just fetched
+            ckpt.save(gi, {"state": carry_in, "key": key_in})
         if prev_min is not None:
             self.losses.append(float(prev_min))
         self.ng_state = state
+        ckpt.finalize(meta_steps, {"state": state, "key": self._key})
 
         # final long generation (skips the tell, reference semantics)
         variables = self.ng_init(self.var_manager)
@@ -216,6 +213,7 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
         the generation loop crash-safe/resumable."""
         self.setup_ng(self.var_manager, num_samples,
                       budget=meta_steps * num_samples)
+        self.reject_host_checkpoint(checkpoint_path)
         self.losses, self.outs = [], []
         total_steps = meta_steps * grad_steps + last_grad_steps
         timer = Timer()

@@ -68,6 +68,14 @@ class HostStrategy:
     class State(NamedTuple):
         version: jax.Array          # i32 ordering token
 
+    def cache_token(self):
+        """Per-INSTANCE token (unlike the on-device strategies'
+        config-derived one): a traced program closes over the mutable host
+        object via the io_callback, so it must never be reused for a
+        different ``HostStrategy`` even with identical config."""
+        return (type(self).__name__, self.name, self.dim, self.num_samples,
+                id(self))
+
     def init(self, key):
         return self.State(jnp.zeros((), jnp.int32))
 
@@ -162,9 +170,14 @@ class _NevergradBackend:
     def __init__(self, ng_name, dim, num_samples, mu, sigma):
         import nevergrad as ng
 
-        param = ng.p.Array(shape=(dim,))
-        if mu is not None:
-            param = param.set_standardized_data(np.asarray(mu, np.float64))
+        init = (np.zeros(dim, np.float64) if mu is None
+                else np.asarray(mu, np.float64).reshape(-1))
+        param = ng.p.Array(init=init)
+        if sigma is not None and float(sigma) != 1.0:
+            # the registered grad_free (mu, sigma) seed must reach the host
+            # optimizer too — nevergrad scales mutations via the
+            # parametrization's mutation sigma (default 1.0)
+            param.set_mutation(sigma=float(sigma))
         self._opt = ng.optimizers.registry[ng_name](
             parametrization=param, budget=None, num_workers=1)
         self._pending = []

@@ -85,6 +85,26 @@ class _Base:
             f"search sigma must be positive, got {sigma} — a zero sigma "
             "silently NaNs every (x - mean)/sigma update")
 
+    def cache_token(self):
+        """Hashable token covering everything that parametrizes the
+        strategy's traced behavior: two strategies with equal tokens may
+        share a compiled program that closed over either. Walks
+        ``__dict__`` so subclass hyperparameters (e.g.
+        ``MetaRecenteringStrategy.scale``, which depends on ``budget``) are
+        captured automatically; derived pytrees (``CMAStrategy.params``)
+        are functions of the scalar/array ctor attrs already included.
+        Strategies holding MUTABLE host state must override this to be
+        per-instance (``HostStrategy`` keys on ``id(self)``)."""
+        items = [type(self).__name__]
+        for k in sorted(self.__dict__):
+            v = self.__dict__[k]
+            if isinstance(v, (int, float, str, bool, type(None))):
+                items.append((k, v))
+            elif isinstance(v, (np.ndarray, jax.Array)):
+                items.append((k, v.shape, str(v.dtype),
+                              np.asarray(v).tobytes()))
+        return tuple(items)
+
     def init(self, key):
         raise NotImplementedError
 

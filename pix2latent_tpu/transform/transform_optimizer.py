@@ -319,33 +319,28 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             key_state = pair[:, 0]
             return pair[:, 1]
 
-        from pix2latent_tpu.utils.checkpoint import (checkpoint_exists,
-                                                     load_checkpoint,
-                                                     save_checkpoint)
-        start = 0
-        if checkpoint_path and checkpoint_exists(checkpoint_path):
-            saved = load_checkpoint(
-                checkpoint_path,
-                {"carry": carry, "keys": key_state,
-                 "meta_iter": jnp.asarray(0, jnp.int32)})
-            carry, key_state = saved["carry"], saved["keys"]
-            start = int(saved["meta_iter"])
-            from pix2latent_tpu.utils.misc import cprint
-            cprint(f"(checkpoint) resumed batched transform search at "
-                   f"generation {start}", "y")
+        from pix2latent_tpu.utils.checkpoint import FusedCheckpointer
+        ckpt = FusedCheckpointer(checkpoint_path,
+                                 "batched transform search",
+                                 every=checkpoint_every)
+        start = ckpt.resume({"carry": carry, "keys": key_state})
+        if ckpt.loaded is not None:
+            carry, key_state = ckpt.loaded["carry"], ckpt.loaded["keys"]
 
         for gi in range(start, meta_steps - 1):
+            carry_in, keys_in = carry, key_state
             carry, (variables, loss) = gen_fn(
                 self.model.params, defaults, carry, next_keys(),
                 jnp.asarray(gi, jnp.int32))
-            if checkpoint_path and (gi + 1) % checkpoint_every == 0:
-                save_checkpoint(checkpoint_path,
-                                {"carry": carry, "keys": key_state,
-                                 "meta_iter": jnp.asarray(gi + 1,
-                                                          jnp.int32)})
+            # one-behind save: carry_in is gen gi-1's output (this loop
+            # keeps no loss fetch, so the np.asarray inside save is what
+            # blocks on gi-1 — still one dispatch ahead, never on gi)
+            ckpt.save(gi, {"carry": carry_in, "keys": keys_in})
+        carry_in, keys_in = carry, key_state
         carry, (variables, loss) = final_fn(
             self.model.params, defaults, carry, next_keys(),
             jnp.asarray(meta_steps - 1, jnp.int32))
+        ckpt.finalize(meta_steps - 1, {"carry": carry_in, "keys": keys_in})
 
         states, vp_means, best_loss, best_t = carry
         loss_np = np.asarray(loss)                               # [M, pop]
@@ -396,23 +391,16 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         carry = (self.cma_state, vp0, jnp.asarray(jnp.inf, jnp.float32),
                  jnp.zeros((dim,), jnp.float32))
 
-        from pix2latent_tpu.utils.checkpoint import (checkpoint_exists,
-                                                     load_checkpoint,
-                                                     save_checkpoint)
-        start = 0
-        if checkpoint_path and checkpoint_exists(checkpoint_path):
-            saved = load_checkpoint(
-                checkpoint_path,
-                {"carry": carry, "key": self._key,
-                 "meta_iter": jnp.asarray(0, jnp.int32)})
-            carry, self._key = saved["carry"], saved["key"]
-            start = int(saved["meta_iter"])
-            from pix2latent_tpu.utils.misc import cprint
-            cprint(f"(checkpoint) resumed fused transform search at "
-                   f"generation {start}", "y")
+        from pix2latent_tpu.utils.checkpoint import FusedCheckpointer
+        ckpt = FusedCheckpointer(checkpoint_path, "fused transform search",
+                                 every=checkpoint_every)
+        start = ckpt.resume({"carry": carry, "key": self._key})
+        if ckpt.loaded is not None:
+            carry, self._key = ckpt.loaded["carry"], ckpt.loaded["key"]
 
         prev_loss = None
         for gi in range(start, meta_steps - 1):
+            carry_in, key_in = carry, self._key
             carry, (variables, loss) = gen_fn(
                 self.model.params, defaults, carry, self.next_key(),
                 jnp.asarray(gi, jnp.int32))
@@ -421,17 +409,21 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                 # fetch is free; recording stays one generation behind
                 self.losses.append(float(jnp.min(prev_loss)))
             prev_loss = loss
-            if checkpoint_path and (gi + 1) % checkpoint_every == 0:
-                save_checkpoint(checkpoint_path,
-                                {"carry": carry, "key": self._key,
-                                 "meta_iter": jnp.asarray(gi + 1,
-                                                          jnp.int32)})
+            # carry_in (generation gi's input) is materialized: the
+            # loaded/initial host state at gi == start, else gen gi-1's
+            # output whose min-loss was just fetched
+            ckpt.save(gi, {"carry": carry_in, "key": key_in})
+        carry_in, key_in = carry, self._key
         carry, (variables, loss) = final_fn(
             self.model.params, defaults, carry, self.next_key(),
             jnp.asarray(meta_steps - 1, jnp.int32))
         if prev_loss is not None:
             self.losses.append(float(jnp.min(prev_loss)))
         self.losses.append(float(jnp.min(loss)))
+        # terminal write of the final generation's INPUT carry: a re-run of
+        # a completed search skips the tell loop and replays only the final
+        # (tell-less) generation from the state it actually saw
+        ckpt.finalize(meta_steps - 1, {"carry": carry_in, "key": key_in})
 
         self.cma_state, self.vp_means, best_loss, best_t = carry
         self._best_loss = float(best_loss)

@@ -61,6 +61,68 @@ def checkpoint_exists(path):
     return os.path.exists(path)
 
 
+class FusedCheckpointer:
+    """Crash-safe resume for the fused one-dispatch meta loops.
+
+    The four fused drivers (BasinCMA/Hybrid-NG ``optimize_fused``, the
+    transform search's ``optimize_fused`` / ``optimize_fused_batched``)
+    share this instead of hand-rolling load/save/resume-print. Two
+    contracts distinguish it from :class:`LoopCheckpointer` (the host-loop
+    drivers' helper):
+
+    - The carry is an explicit dict the driver threads itself (fused loops
+      keep their state in local variables, not optimizer attributes).
+    - ``save(gi, carry)`` is called with the carry that was INPUT to the
+      generation just dispatched — i.e. the previous generation's output,
+      which the one-behind loss fetch has already materialized — so the
+      host write never blocks on the in-flight dispatch. The dispatch
+      queue stays full; a crash costs at most two generations. (Saving the
+      just-dispatched generation's output would fetch-sync every
+      generation, serializing host dispatch against device compute — the
+      exact stall the fused drivers' one-behind loss recording avoids.)
+    - ``finalize(meta_steps, carry)`` writes the terminal carry after the
+      loop (when it is materialized anyway) so re-running a completed run
+      skips the whole loop.
+    """
+
+    def __init__(self, path, label: str, every: int = 1):
+        self.path = path
+        self.label = label
+        self.every = max(int(every), 1)
+        self.loaded = None
+
+    def resume(self, template: dict) -> int:
+        """Load ``{**template, meta_iter}`` if a checkpoint exists; the
+        restored carry lands in ``self.loaded``. Returns the start
+        generation (0 on a fresh run)."""
+        if not self.path or not checkpoint_exists(self.path):
+            return 0
+        saved = load_checkpoint(
+            self.path,
+            {**template, "meta_iter": jnp.asarray(0, jnp.int32)})
+        start = int(saved.pop("meta_iter"))
+        self.loaded = saved
+        from pix2latent_tpu.utils.misc import cprint
+        cprint(f"(checkpoint) resumed {self.label} at generation {start}",
+               "y")
+        return start
+
+    def save(self, meta_iter: int, carry: dict):
+        """Write ``carry`` as the state entering generation ``meta_iter``
+        (see the class docstring for why this is the previous generation's
+        already-materialized output)."""
+        if self.path and meta_iter % self.every == 0:
+            save_checkpoint(
+                self.path,
+                {**carry, "meta_iter": jnp.asarray(meta_iter, jnp.int32)})
+
+    def finalize(self, meta_steps: int, carry: dict):
+        if self.path:
+            save_checkpoint(
+                self.path,
+                {**carry, "meta_iter": jnp.asarray(meta_steps, jnp.int32)})
+
+
 class LoopCheckpointer:
     """Crash-safe resume for any ask-eval-tell meta loop.
 

@@ -55,7 +55,8 @@ def test_parses_and_imports_resolve(script):
 
 
 @pytest.mark.parametrize("script", ["invert_biggan_adam.py",
-                                    "invert_stylegan2_cars_basincma.py"])
+                                    "invert_stylegan2_cars_basincma.py",
+                                    "invert_stylegan2_ffhq_basincma.py"])
 def test_help_exits_zero(script):
     """argparse wiring works (no top-level crashes before parsing)."""
     env = dict(os.environ, JAX_PLATFORMS="cpu")
@@ -63,6 +64,37 @@ def test_help_exits_zero(script):
         [sys.executable, os.path.join(EXAMPLES, script), "--help"],
         capture_output=True, timeout=240, env=env)
     assert proc.returncode == 0, proc.stderr.decode()[-800:]
+
+
+def test_ffhq_recipe_defaults():
+    """The FFHQ example must bake in the measured one-chip memory recipe
+    (bf16 + remat_from_res=256 + max_minibatch=2, BASELINE.md) while
+    leaving explicit user choices and non-ffhq models untouched."""
+    import argparse
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ffhq_example",
+        os.path.join(EXAMPLES, "invert_stylegan2_ffhq_basincma.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def ns(**kw):
+        base = dict(model="ffhq", no_recipe=False, bf16=False,
+                    remat_from_res=0, max_minibatch=None)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    a = mod.apply_ffhq_recipe(ns())
+    assert a.bf16 and a.remat_from_res == 256 and a.max_minibatch == 2
+    # explicit user settings survive
+    a = mod.apply_ffhq_recipe(ns(remat_from_res=512, max_minibatch=4))
+    assert a.remat_from_res == 512 and a.max_minibatch == 4
+    # opt-outs
+    a = mod.apply_ffhq_recipe(ns(no_recipe=True))
+    assert not a.bf16 and a.remat_from_res == 0 and a.max_minibatch is None
+    a = mod.apply_ffhq_recipe(ns(model="cars"))
+    assert not a.bf16 and a.max_minibatch is None
 
 
 def test_wplus_registration_shapes():

@@ -179,3 +179,55 @@ class TestHostStrategyInDrivers:
         assert np.isfinite(np.asarray(opt.loss)).all()
         # the ES made progress on the inversion
         assert float(np.min(opt.loss)) < 0.6
+
+
+class TestHostStrategyGuards:
+    """Self-review hardening: the fused-program memo and checkpointing both
+    assume state they cannot see — Host: strategies must opt out of each
+    loudly rather than silently reuse/restart."""
+
+    def test_cache_token_is_per_instance(self):
+        """Two Host: strategies with identical config wrap DIFFERENT
+        mutable host objects; a shared compiled program would route one
+        search's asks into the other's optimizer. Tokens must differ
+        (unlike the on-device strategies, where equal config => equal
+        token)."""
+        a = resolve("Host:StubES")(Z_DIM, 6, mu=None, sigma=1.0)
+        b = resolve("Host:StubES")(Z_DIM, 6, mu=None, sigma=1.0)
+        assert a.cache_token() != b.cache_token()
+        assert a.cache_token() == a.cache_token()
+
+    def test_seed_mu_sigma_reach_host_backend(self):
+        """The registered grad_free (mu, sigma) seed must parametrize the
+        wrapped host optimizer, not just the on-device strategies
+        (reference: nevergrad parametrization mutation sigma,
+        ``base_ng_optimizer.py:33``)."""
+        mu = np.linspace(-0.5, 0.5, Z_DIM).astype(np.float32)
+        strat = resolve("Host:StubES")(Z_DIM, 6, mu=mu, sigma=0.25)
+        host = strat._host
+        np.testing.assert_allclose(np.asarray(host.mean), mu, atol=1e-6)
+        assert host.sigma == 0.25
+
+    @pytest.mark.parametrize("driver", ["ng", "hybrid", "hybrid_fused"])
+    def test_checkpoint_path_rejected(self, problem, tmp_path, driver):
+        """Host: state lives in the wrapped Python object and cannot be
+        serialized — checkpoint_path must raise up front instead of
+        printing 'resumed' while silently restarting the search."""
+        model, target = problem
+        ckpt = str(tmp_path / "host.npz")
+        if driver == "ng":
+            opt = NevergradOptimizer("Host:StubES", model, make_vm(target),
+                                     loss_fn, track_variables=False)
+            run = lambda: opt.optimize(num_samples=6, meta_steps=3,
+                                       grad_steps=0, checkpoint_path=ckpt)
+        else:
+            opt = HybridNevergradOptimizer("Host:StubES", model,
+                                           make_vm(target), loss_fn,
+                                           track_variables=False)
+            drive = (opt.optimize_fused if driver == "hybrid_fused"
+                     else opt.optimize)
+            run = lambda: drive(num_samples=6, meta_steps=3, grad_steps=1,
+                                last_grad_steps=1, checkpoint_path=ckpt)
+        with pytest.raises(ValueError, match="Host:"):
+            run()
+        assert not os.path.exists(ckpt)

@@ -289,3 +289,78 @@ class TestDiagonalCMA:
             state = strat.tell(state, x, jnp.sum(x ** 2, -1))
         assert np.isfinite(np.asarray(state.mean)).all()
         assert np.isfinite(float(state.sigma))
+
+
+class TestCacheToken:
+    """``cache_token()`` keys the fused drivers' compiled-program memo
+    (``ng_optimizer.py``): equal tokens promise the traced programs are
+    interchangeable, so it must cover every behavior-determining
+    hyperparameter — including derived ones like MetaRecentering's
+    budget-dependent scale."""
+
+    def test_equal_config_equal_token(self):
+        a = registry["ActiveCMA"](16, 8, mu=None, sigma=0.7)
+        b = registry["ActiveCMA"](16, 8, mu=None, sigma=0.7)
+        assert a.cache_token() == b.cache_token()
+        # usable as a dict key
+        assert len({a.cache_token(): 1, b.cache_token(): 2}) == 1
+
+    def test_mu_and_sigma_distinguish(self):
+        base = registry["TBPSA"](8, 6, mu=None, sigma=1.0)
+        other_sigma = registry["TBPSA"](8, 6, mu=None, sigma=0.5)
+        mu = np.linspace(-1, 1, 8).astype(np.float32)
+        other_mu = registry["TBPSA"](8, 6, mu=mu, sigma=1.0)
+        toks = {base.cache_token(), other_sigma.cache_token(),
+                other_mu.cache_token()}
+        assert len(toks) == 3
+
+    def test_budget_derived_scale_distinguishes(self):
+        """Two MetaRecentering instances with identical (dim, pop, sigma)
+        but different budgets trace different programs (the sampling scale
+        is baked into the compiled ask) — their tokens must differ."""
+        a = registry["MetaRecentering"](32, 10, budget=100)
+        b = registry["MetaRecentering"](32, 10, budget=10000)
+        assert a.scale != b.scale
+        assert a.cache_token() != b.cache_token()
+
+    def test_ngopt_routed_leaf_distinguishes(self):
+        """NGOpt with budgets that land in different leaves must not share
+        a program (the leaf class name is part of the token)."""
+        from pix2latent_tpu.strategies.registry import NGOptSelector
+        small = NGOptSelector(128, 18, budget=20000)      # aCMA leaf
+        noisy = NGOptSelector(128, 18, budget=20000, noisy=True)  # TBPSA
+        assert small.cache_token() != noisy.cache_token()
+
+    def test_padded_population_rescales_budget(self):
+        """On a mesh, setup_ng pads num_samples up to the device count and
+        must rescale budget by the same factor — callers compute
+        budget = generations x REQUESTED population, and budget-derived
+        hyperparameters (MetaRecentering's scale) would otherwise change
+        meaning on meshed runs only."""
+        from pix2latent_tpu.optimizers.ng_base import _BaseNGOptimizer
+        from pix2latent_tpu.parallel.mesh import make_mesh
+        from pix2latent_tpu import VariableManager
+        import pix2latent_tpu.distribution as dist
+
+        vm = VariableManager()
+        vm.register(variable_name="z", shape=(32,), grad_free=True,
+                    distribution=dist.TruncatedNormalModulo(sigma=1.0),
+                    var_type="input")
+
+        class Driver(_BaseNGOptimizer):
+            def __init__(self, mesh):
+                _BaseNGOptimizer.__init__(self, method="MetaRecentering")
+                self.mesh = mesh
+                self._k = jax.random.PRNGKey(0)
+
+            def next_key(self):
+                self._k, k = jax.random.split(self._k)
+                return k
+
+        n_dev = len(jax.devices())
+        assert n_dev == 8, "conftest forces an 8-device virtual mesh"
+        drv = Driver(make_mesh())
+        drv.setup_ng(vm, num_samples=6, budget=10 * 6)    # pads 6 -> 8
+        assert drv.num_samples == 8
+        expected = registry["MetaRecentering"](32, 8, budget=10 * 8)
+        assert drv.ng_strategy.scale == expected.scale
