@@ -144,18 +144,26 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
         self.losses, self.outs = [], []
         total_steps = meta_steps * grad_steps + last_grad_steps
         # memoize the built generation (same rule as basincma.py's
-        # _fused_gens): the traced program closes over the strategy object,
-        # so the key must cover everything that parametrizes its behavior —
+        # _fused_gens): the traced program closes over the strategy object
+        # AND the grad-free variable binding, so the key must cover both —
         # cache_token() includes budget-derived hyperparameters (NGOpt's
-        # routed leaf, MetaRecentering's scale) and is per-instance for
-        # mutable Host: strategies
-        cache_key = (grad_steps, self.ng_strategy.cache_token())
-        if not hasattr(self, "_fused_gens"):
-            self._fused_gens = {}
-        if cache_key not in self._fused_gens:
-            self._fused_gens[cache_key] = \
-                self._build_fused_generation(grad_steps)
-        gen_fn = self._fused_gens[cache_key]
+        # routed leaf, MetaRecentering's scale), _gf_var the variable the
+        # program writes asks into. Host: strategies are per-instance
+        # mutable objects: a memo entry could never be hit again (fresh
+        # instance per setup_ng), so storing one would only retain dead
+        # host optimizers + compiled programs — build without caching.
+        from pix2latent_tpu.strategies.host import HostStrategy
+        if isinstance(self.ng_strategy, HostStrategy):
+            gen_fn = self._build_fused_generation(grad_steps)
+        else:
+            cache_key = (grad_steps, self.ng_strategy.cache_token(),
+                         self._gf_var)
+            if not hasattr(self, "_fused_gens"):
+                self._fused_gens = {}
+            if cache_key not in self._fused_gens:
+                self._fused_gens[cache_key] = \
+                    self._build_fused_generation(grad_steps)
+            gen_fn = self._fused_gens[cache_key]
         defaults = self.var_manager.defaults()
 
         state = self.ng_state

@@ -584,6 +584,10 @@ class LMMAESStrategy(_Base):
         self.params, self._state0 = lmmaes.init(
             self.mu0, self.sigma0, popsize=max(self.num_samples, 2),
             memory=memory)
+        # resolved memory as a plain scalar attr so cache_token() sees it
+        # (params is a pytree cache_token skips; two strategies with
+        # different m trace different programs)
+        self.memory = int(self.params.memory)
 
     def init(self, key):
         return self._state0

@@ -181,13 +181,18 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
 
             steps = gen_idx * grad_steps + jnp.arange(grad_steps)
             keys = jax.random.split(k_scan, grad_steps)
-            (variables, opt_state), _ = jax.lax.scan(
+            (variables, opt_state), inner_losses = jax.lax.scan(
                 inner, (variables, opt_state), (steps, keys))
 
             tell_fn = core._build("tell_loss_raw", inverted=True)
             loss = tell_fn(params, variables, k_tell,
                            gen_idx * grad_steps + grad_steps,
                            defaults=defaults, ctx=ctx)
+            # last Adam step's per-sample warped-target loss: what the
+            # unfused driver leaves in self.loss (base.py:_run_inner), so
+            # both drivers report the same quantity (the inverted tell loss
+            # stays internal to selection/telling)
+            inner_final = inner_losses[-1] if grad_steps > 0 else loss
             if with_tell:
                 cma_state = cma.tell(self.cma_params, cma_state, t, loss)
 
@@ -212,7 +217,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             best_loss = jnp.minimum(lmin, best_loss)
 
             carry = (cma_state, vp_means, best_loss, best_t)
-            return carry, (variables, loss)
+            return carry, (variables, loss, inner_final)
 
         return jax.jit(generation) if jit else generation
 
@@ -268,7 +273,9 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
                 anyway).
 
         Returns a dict with per-search ``candidate [M, *t_shape]``,
-        ``best_loss [M]``, final-generation ``loss [M, pop]``,
+        ``best_loss [M]``, final-generation inverted-frame ``loss
+        [M, pop]``, last-Adam-step warped-target ``inner_loss [M, pop]``
+        (the quantity :meth:`optimize` leaves in ``self.loss``),
         ``candidate_out [M, H, W, C]`` (best warped target), plus the final
         ``variables``/``cma_states``/``vp_means`` (all batched over M).
         """
@@ -329,7 +336,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
 
         for gi in range(start, meta_steps - 1):
             carry_in, keys_in = carry, key_state
-            carry, (variables, loss) = gen_fn(
+            carry, (variables, loss, inner_loss) = gen_fn(
                 self.model.params, defaults, carry, next_keys(),
                 jnp.asarray(gi, jnp.int32))
             # one-behind save: carry_in is gen gi-1's output (this loop
@@ -337,7 +344,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             # blocks on gi-1 — still one dispatch ahead, never on gi)
             ckpt.save(gi, {"carry": carry_in, "keys": keys_in})
         carry_in, keys_in = carry, key_state
-        carry, (variables, loss) = final_fn(
+        carry, (variables, loss, inner_loss) = final_fn(
             self.model.params, defaults, carry, next_keys(),
             jnp.asarray(meta_steps - 1, jnp.int32))
         ckpt.finalize(meta_steps - 1, {"carry": carry_in, "keys": keys_in})
@@ -352,6 +359,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             "candidate": np.asarray(best_t).reshape(m, *gf_shape),
             "best_loss": np.asarray(best_loss),
             "loss": loss_np,
+            "inner_loss": np.asarray(inner_loss),
             "candidate_out": candidate_out,
             "variables": variables,
             "cma_states": states,
@@ -401,7 +409,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         prev_loss = None
         for gi in range(start, meta_steps - 1):
             carry_in, key_in = carry, self._key
-            carry, (variables, loss) = gen_fn(
+            carry, (variables, loss, inner_loss) = gen_fn(
                 self.model.params, defaults, carry, self.next_key(),
                 jnp.asarray(gi, jnp.int32))
             if prev_loss is not None:
@@ -414,7 +422,7 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             # output whose min-loss was just fetched
             ckpt.save(gi, {"carry": carry_in, "key": key_in})
         carry_in, key_in = carry, self._key
-        carry, (variables, loss) = final_fn(
+        carry, (variables, loss, inner_loss) = final_fn(
             self.model.params, defaults, carry, self.next_key(),
             jnp.asarray(meta_steps - 1, jnp.int32))
         if prev_loss is not None:
@@ -428,7 +436,10 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         self.cma_state, self.vp_means, best_loss, best_t = carry
         self._best_loss = float(best_loss)
         self._candidate = np.asarray(best_t).reshape(gf_shape)
-        self.loss = np.asarray(loss)
+        # report the final Adam step's warped-target loss, the quantity
+        # optimize() leaves in self.loss (base.py:_run_inner) — the
+        # inverted-frame tell loss stays internal to selection below
+        self.loss = np.asarray(inner_loss)
 
         best = int(jnp.argmin(jnp.where(jnp.isfinite(loss), loss, jnp.inf)))
         candidate_out = variables["output"]["target"][best]

@@ -231,3 +231,69 @@ class TestHostStrategyGuards:
         with pytest.raises(ValueError, match="Host:"):
             run()
         assert not os.path.exists(ckpt)
+
+
+class TestFusedMemoHygiene:
+    """The hybrid fused-program memo (``ng_optimizer.py``): its key must
+    cover the grad-free variable binding the traced program writes asks
+    into, and Host: strategies must not be memoized at all (per-instance
+    tokens can never hit again — entries would only pin dead host
+    optimizers and compiled programs)."""
+
+    def _two_latent_problem(self):
+        from pix2latent_tpu.models.base import FunctionModel
+        proj = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(0), (Z_DIM, RES * RES * 3)))
+
+        m = FunctionModel(
+            lambda params, z, w: jnp.tanh((z + w) @ params).reshape(
+                -1, RES, RES, 3),
+            params=jnp.asarray(proj))
+        target = m(z=jax.random.normal(jax.random.PRNGKey(7), (1, Z_DIM)),
+                   w=jnp.zeros((1, Z_DIM)))[0]
+        return m, target
+
+    def _vm(self, target, gf_name):
+        vm = VariableManager(seed=0)
+        for name in ("z", "w"):
+            vm.register(name, shape=(Z_DIM,), var_type="input",
+                        grad_free=(name == gf_name), learning_rate=0.05)
+        vm.register("target", shape=(RES, RES, 3), var_type="output",
+                    requires_grad=False, default=target)
+        return vm
+
+    def test_memo_rebuilds_when_grad_free_variable_changes(self):
+        """Same dim/popsize but a different grad-free variable binding must
+        NOT reuse the compiled program (it would write asks into the old
+        variable name, silently optimizing the wrong latent)."""
+        model, target = self._two_latent_problem()
+        loss = lambda out, target: jnp.mean(jnp.abs(target - out),
+                                            axis=(1, 2, 3))
+        opt = HybridNevergradOptimizer("TBPSA", model,
+                                       self._vm(target, "z"), loss,
+                                       track_variables=False)
+        opt.optimize_fused(num_samples=4, meta_steps=2, grad_steps=2,
+                           last_grad_steps=2)
+        assert len(opt._fused_gens) == 1
+
+        # rebind: now w is the searched latent, z takes gradients
+        opt.var_manager = self._vm(target, "w")
+        variables, _, _ = opt.optimize_fused(num_samples=4, meta_steps=2,
+                                             grad_steps=2, last_grad_steps=2)
+        assert len(opt._fused_gens) == 2, (
+            "stale fused program reused across a grad-free rebinding")
+        # the ask landed in w: the searched latent moved off its zero init
+        assert float(np.abs(np.asarray(variables["input"]["w"])).max()) > 0
+
+    def test_host_strategies_are_not_memoized(self, problem):
+        """Repeated Host: fused runs re-trace by necessity (fresh host
+        object per setup_ng); the memo must not grow a dead entry per
+        call."""
+        model, target = problem
+        opt = HybridNevergradOptimizer("Host:StubES", model,
+                                       make_vm(target), loss_fn,
+                                       track_variables=False)
+        for _ in range(2):
+            opt.optimize_fused(num_samples=4, meta_steps=2, grad_steps=1,
+                               last_grad_steps=1)
+        assert len(getattr(opt, "_fused_gens", {})) == 0
