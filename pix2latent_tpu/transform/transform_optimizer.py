@@ -230,9 +230,12 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         per-search (defaults, carry, key), shared (params, gen_idx)."""
         if not hasattr(self, "_fused_gens"):
             self._fused_gens = {}
+        # the traced program also closes over the grad-free binding and the
+        # propagation list — same rule as the hybrid driver's memo
         key = (grad_steps, meta_steps, with_tell, batched,
                self.cma_params.popsize, self.cma_params.active,
-               self.cma_params.n)
+               self.cma_params.n, self._gf_var,
+               tuple(self.variables_to_propagate))
         if key not in self._fused_gens:
             if batched:
                 raw = self._build_fused_generation(
@@ -406,17 +409,24 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         if ckpt.loaded is not None:
             carry, self._key = ckpt.loaded["carry"], ckpt.loaded["key"]
 
-        prev_loss = None
+        prev_min = None
         for gi in range(start, meta_steps - 1):
             carry_in, key_in = carry, self._key
             carry, (variables, loss, inner_loss) = gen_fn(
                 self.model.params, defaults, carry, self.next_key(),
                 jnp.asarray(gi, jnp.int32))
-            if prev_loss is not None:
-                # previous generation's dispatch already completed -> the
-                # fetch is free; recording stays one generation behind
-                self.losses.append(float(jnp.min(prev_loss)))
-            prev_loss = loss
+            # dispatch the min BEFORE fetching the previous one: a lazily
+            # built jnp.min(prev) would be enqueued after THIS generation
+            # and its fetch would block on the in-flight dispatch —
+            # measured 60ms/gen of axon round-trip serialization
+            # (bench_transform round 3: batched-M1 19.7s vs solo 22.7s)
+            cur_min = jnp.min(loss)
+            if prev_min is not None:
+                # gi-1's min op was enqueued before this generation ->
+                # the fetch blocks only on gi-1; recording stays one
+                # generation behind the dispatch queue
+                self.losses.append(float(prev_min))
+            prev_min = cur_min
             # carry_in (generation gi's input) is materialized: the
             # loaded/initial host state at gi == start, else gen gi-1's
             # output whose min-loss was just fetched
@@ -425,8 +435,8 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         carry, (variables, loss, inner_loss) = final_fn(
             self.model.params, defaults, carry, self.next_key(),
             jnp.asarray(meta_steps - 1, jnp.int32))
-        if prev_loss is not None:
-            self.losses.append(float(jnp.min(prev_loss)))
+        if prev_min is not None:
+            self.losses.append(float(prev_min))
         self.losses.append(float(jnp.min(loss)))
         # terminal write of the final generation's INPUT carry: a re-run of
         # a completed search skips the tell loop and replays only the final
