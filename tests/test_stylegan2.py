@@ -194,3 +194,51 @@ class TestConverter:
         out = mod.apply({"params": params}, z)
         assert out.shape == (1, im_res, im_res, 3)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestPopulationPairPacking:
+    """Exactness invariant behind scripts/bench_packed_pairs.py: packing two
+    population members into the channel dim turns the frozen shared-weight
+    conv into a 2-group conv with the kernel tiled along O — bit-identical,
+    so the thin-channel (c=64, 2x lane padding) res-512 layers could run
+    fully lane-packed if the TPU microbench justifies integration."""
+
+    def test_grouped_conv_matches_batched(self):
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        P, H, C, K = 4, 16, 8, 3
+        key = jax.random.PRNGKey(0)
+        w = jax.random.normal(key, (K, K, C, C), jnp.float32) * 0.1
+        x = jax.random.normal(jax.random.PRNGKey(1), (P, H, H, C))
+
+        def conv(x, w, g=1):
+            dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+            return lax.conv_general_dilated(x, w, (1, 1), "SAME",
+                                            dimension_numbers=dn,
+                                            feature_group_count=g)
+
+        y = conv(x, w)
+        xp = x.reshape(P // 2, 2, H, H, C).transpose(0, 2, 3, 1, 4) \
+              .reshape(P // 2, H, H, 2 * C)
+        yp = conv(xp, jnp.concatenate([w, w], axis=3), g=2)
+        yp = yp.reshape(P // 2, H, H, 2, C).transpose(0, 3, 1, 2, 4) \
+               .reshape(P, H, H, C)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(yp))
+
+        # input grads through the packed form are identical too (the
+        # frozen-generator case: only input/style grads matter)
+        def f_batch(x):
+            return jnp.sum(conv(x, w) ** 2)
+
+        def f_packed(x):
+            xp = x.reshape(P // 2, 2, H, H, C).transpose(0, 2, 3, 1, 4) \
+                  .reshape(P // 2, H, H, 2 * C)
+            return jnp.sum(conv(xp, jnp.concatenate([w, w], 3), g=2) ** 2)
+
+        gb = jax.grad(f_batch)(x)
+        gp = jax.grad(f_packed)(x)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(gp),
+                                   rtol=1e-6, atol=1e-6)
