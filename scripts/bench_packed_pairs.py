@@ -90,6 +90,14 @@ def main():
 
     w1 = jax.random.normal(key, (K, K, C, C), DT) * 0.05
     w2 = jnp.concatenate([w1, w1], axis=3)               # [K,K,C,2C], g=2
+    # dense block-diagonal [K,K,2C,2C]: blkdiag(w, w). 2x the FLOPs of the
+    # grouped form, but the contraction is 2C=128 wide — FULL MXU width
+    # instead of a quarter-utilized 64x64, and XLA lowers it as a plain
+    # dense conv (no grouped-conv lowering risk). For thin channels the
+    # MXU shape binds, not FLOPs: 2x work at 4x utilization is a net win.
+    zeros = jnp.zeros_like(w1)
+    wd = jnp.concatenate([jnp.concatenate([w1, zeros], 3),
+                          jnp.concatenate([zeros, w1], 3)], axis=2)
     xb = jax.random.normal(key, (P, H, H, C), DT)
     xp = pack(xb)
 
@@ -108,8 +116,10 @@ def main():
 
     tb = timeit(make_conv_step(w1, 1), xb)
     tp = timeit(make_conv_step(w2, 2), xp)
+    td = timeit(make_conv_step(wd, 1), xp)
     print(f"conv fwd+bwd   batch {tb*1e3:7.2f} ms   "
-          f"packed {tp*1e3:7.2f} ms   ({tb/tp:.2f}x)")
+          f"grouped {tp*1e3:7.2f} ms ({tb/tp:.2f}x)   "
+          f"blkdiag {td*1e3:7.2f} ms ({tb/td:.2f}x)")
 
     # -- 2. modulated conv + style grad ------------------------------------ #
     sb = jnp.ones((P, C), DT)
@@ -128,8 +138,10 @@ def main():
 
     tb = timeit(make_mod_step(w1, 1), xb, sb)
     tp = timeit(make_mod_step(w2, 2), xp, sp)
+    td = timeit(make_mod_step(wd, 1), xp, sp)
     print(f"modconv+sgrad  batch {tb*1e3:7.2f} ms   "
-          f"packed {tp*1e3:7.2f} ms   ({tb/tp:.2f}x)")
+          f"grouped {tp*1e3:7.2f} ms ({tb/tp:.2f}x)   "
+          f"blkdiag {td*1e3:7.2f} ms ({tb/td:.2f}x)")
 
     # -- 3. multiply + per-channel reduce (demod-grad pattern) ------------- #
     def make_red():
@@ -148,11 +160,19 @@ def main():
     # -- exactness (f32, CPU-checkable) ------------------------------------ #
     wf = w1.astype(jnp.float32)
     xf = xb.astype(jnp.float32)
+    zf = jnp.zeros_like(wf)
+    wdf = jnp.concatenate([jnp.concatenate([wf, zf], 3),
+                           jnp.concatenate([zf, wf], 3)], axis=2)
     y = conv(xf, wf, 1)
     yp = unpack(conv(pack(xf), jnp.concatenate([wf, wf], 3), 2))
-    err = float(jnp.max(jnp.abs(y - yp)))
-    print(f"exactness max|diff| = {err:.2e}")
-    assert err == 0.0, err
+    yd = unpack(conv(pack(xf), wdf, 1))
+    err_g = float(jnp.max(jnp.abs(y - yp)))
+    err_d = float(jnp.max(jnp.abs(y - yd)))
+    print(f"exactness max|diff| grouped={err_g:.2e} blkdiag={err_d:.2e}")
+    # grouped is bit-identical; blkdiag sums 2C channels (zeros contribute
+    # exactly 0 but the reduction tree reorders) -> allclose, not equal
+    assert err_g == 0.0, err_g
+    assert err_d < 1e-4, err_d
 
 
 if __name__ == "__main__":
