@@ -315,3 +315,53 @@ class TestLoopCheckpointerDrivers:
         got = jax.tree.leaves(opt2.ng_state)[0]
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-6)
+
+
+class TestFusedCheckpointer:
+    """Unit-level protocol of the fused drivers' shared checkpoint helper
+    (utils/checkpoint.py::FusedCheckpointer): resume/save/finalize with the
+    one-behind carry contract (save(gi, carry) records the state ENTERING
+    generation gi, so meta_iter == gi, not gi+1)."""
+
+    def _carry(self, v):
+        return {"state": jnp.asarray([v, v + 1.0]),
+                "key": jax.random.PRNGKey(int(v))}
+
+    def test_fresh_run_then_resume(self, tmp_path):
+        from pix2latent_tpu.utils.checkpoint import FusedCheckpointer
+        p = str(tmp_path / "fc.npz")
+
+        ck = FusedCheckpointer(p, "test loop", every=1)
+        assert ck.resume(self._carry(0.0)) == 0 and ck.loaded is None
+
+        ck.save(0, self._carry(10.0))         # input of gen 0
+        ck.save(1, self._carry(11.0))         # input of gen 1
+
+        ck2 = FusedCheckpointer(p, "test loop")
+        start = ck2.resume(self._carry(0.0))
+        assert start == 1
+        np.testing.assert_allclose(np.asarray(ck2.loaded["state"]),
+                                   [11.0, 12.0])
+
+    def test_every_and_finalize(self, tmp_path):
+        from pix2latent_tpu.utils.checkpoint import FusedCheckpointer
+        p = str(tmp_path / "fc2.npz")
+        ck = FusedCheckpointer(p, "test loop", every=2)
+        ck.save(0, self._carry(1.0))          # 0 % 2 == 0 -> written
+        ck.save(1, self._carry(2.0))          # skipped
+        ck2 = FusedCheckpointer(p, "test loop")
+        assert ck2.resume(self._carry(0.0)) == 0
+
+        ck.finalize(5, self._carry(3.0))      # terminal write always lands
+        ck3 = FusedCheckpointer(p, "test loop")
+        assert ck3.resume(self._carry(0.0)) == 5
+        np.testing.assert_allclose(np.asarray(ck3.loaded["state"]),
+                                   [3.0, 4.0])
+
+    def test_disabled_without_path(self, tmp_path):
+        from pix2latent_tpu.utils.checkpoint import FusedCheckpointer
+        ck = FusedCheckpointer(None, "test loop")
+        assert ck.resume(self._carry(0.0)) == 0
+        ck.save(0, self._carry(1.0))          # no-op, no crash
+        ck.finalize(3, self._carry(2.0))
+        assert ck.loaded is None
