@@ -91,6 +91,27 @@ def loss_to_color(loss):
     return "r"
 
 
+def color_str(string, color):
+    """Wrap ``string`` in ANSI codes (reference ``misc.py:96-99``); unknown
+    colors pass through uncolored."""
+    if color in _COLORS:
+        return f"{_COLORS[color]}{string}{_END}"
+    return str(string)
+
+
+def color_loss(loss):
+    """Loss formatted with the reference's magnitude color thresholds
+    (``misc.py:116-129``: <0.01 cyan, <0.1 green, <0.5 yellow, else red)."""
+    c = "r"
+    if loss < 0.5:
+        c = "y"
+    if loss < 0.1:
+        c = "g"
+    if loss < 0.01:
+        c = "c"
+    return color_str(f"{loss:.5f}", c)
+
+
 def progress_print(task, curr, total, color=None, t_avg=None):
     """Progress line with %-done and sec/iter (reference ``misc.py:132-138``)."""
     pct = 100.0 * curr / max(total, 1)

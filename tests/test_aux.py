@@ -365,3 +365,21 @@ class TestFusedCheckpointer:
         ck.save(0, self._carry(1.0))          # no-op, no crash
         ck.finalize(3, self._carry(2.0))
         assert ck.loaded is None
+
+
+class TestColorHelpers:
+    """Reference-named console helpers (misc.py:96-129): migration parity
+    for color_str/color_loss."""
+
+    def test_color_str(self):
+        from pix2latent_tpu.utils.misc import color_str
+        assert color_str("hi", "g").endswith("\033[0m")
+        assert color_str("hi", "unknown") == "hi"
+
+    def test_color_loss_thresholds(self):
+        from pix2latent_tpu.utils.misc import color_loss
+        assert "\033[96m" in color_loss(0.005)      # cyan
+        assert "\033[92m" in color_loss(0.05)       # green
+        assert "\033[93m" in color_loss(0.3)        # yellow
+        assert "\033[91m" in color_loss(0.9)        # red
+        assert "0.90000" in color_loss(0.9)
