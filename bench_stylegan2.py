@@ -38,7 +38,12 @@ def _build(dtype):
     # through the fused Pallas kernel (ops/mod_backward.py) — the A/B
     # switch for the round-3 attack on the top profiled cost
     fused = os.environ.get("PIX2LATENT_FUSED_MOD_BWD", "0") == "1"
-    model = StyleGAN2("cars", search="z", dtype=dtype, fused_mod_bwd=fused)
+    # PIX2LATENT_PACK_PAIRS=<max_ch>: population-pair channel packing for
+    # thin-channel blocks (stylegan2.py pack_pairs_max_ch; 64 packs the
+    # res-512 block) — the A/B switch for the lane-padding-ceiling attack
+    pack = int(os.environ.get("PIX2LATENT_PACK_PAIRS", "0"))
+    model = StyleGAN2("cars", search="z", dtype=dtype, fused_mod_bwd=fused,
+                      pack_pairs_max_ch=pack)
     loss_fn = LF.ProjectionLoss(lpips_net="alex", beta=10.0, dtype=dtype)
     im = model.im_res
 

@@ -42,6 +42,38 @@ from pix2latent_tpu.ops.upfirdn2d import (Blur, Upsample, fused_leaky_relu,
 BLUR_KERNEL = (1, 3, 3, 1)
 
 
+def pack_pairs(x):
+    """[n,H,W,c] -> [n//2,H,W,2c]: member 2i in channels [:c], 2i+1 in
+    [c:]. Thin-channel (c<=64) bf16 tensors fill only half the 128-lane
+    registers (2x HBM padding, the measured StyleGAN2-cars ceiling —
+    BASELINE.md round 3); packing two population members into channels
+    restores full lanes, and the frozen shared-weight convs stay exact via
+    block-diagonal kernels (full-width MXU contractions,
+    ``scripts/bench_packed_pairs.py``)."""
+    n, h, w, c = x.shape
+    return x.reshape(n // 2, 2, h, w, c).transpose(0, 2, 3, 1, 4) \
+            .reshape(n // 2, h, w, 2 * c)
+
+
+def unpack_pairs(y):
+    """Inverse of :func:`pack_pairs`."""
+    n2, h, w, c2 = y.shape
+    c = c2 // 2
+    return y.reshape(n2, h, w, 2, c).transpose(0, 3, 1, 2, 4) \
+            .reshape(2 * n2, h, w, c)
+
+
+def _blkdiag2(w):
+    """[k,k,i,o] -> [k,k,2i,2o] block-diagonal blkdiag(w, w): the packed
+    pair's shared-weight conv as ONE dense conv — 2x the FLOPs of the
+    logical op but a 2i-wide contraction at full MXU width instead of a
+    quarter-utilized i x o tile (the MXU shape binds for thin channels,
+    not FLOPs)."""
+    z = jnp.zeros_like(w)
+    return jnp.concatenate([jnp.concatenate([w, z], 3),
+                            jnp.concatenate([z, w], 3)], axis=2)
+
+
 def channels_for(res: int, channel_multiplier: int = 2):
     """rosinality channel map (model.py Generator.channels)."""
     return {
@@ -101,11 +133,16 @@ class ModulatedConv(nn.Module):
     # (ops/mod_backward.py): one pass over the conv input-gradient emits
     # both g_x and the per-channel style grad g_s
     fused_mod_bwd: bool = False
+    # population-pair channel packing: x is [n/2, H, W, 2*in_ch] (see
+    # pack_pairs) and the shared conv runs as ONE dense block-diagonal
+    # kernel at full MXU width. Params are identical to the unpacked form.
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, style):
         k = self.kernel_size
-        in_ch = x.shape[-1]
+        n = style.shape[0]
+        in_ch = x.shape[-1] // (2 if self.packed else 1)
         weight = self.param("weight", nn.initializers.normal(1.0),
                             (k, k, in_ch, self.out_ch))
         scale = 1.0 / math.sqrt(in_ch * k * k)
@@ -115,19 +152,27 @@ class ModulatedConv(nn.Module):
                         name="modulation")(style)
 
         w = (weight * scale).astype(self.dtype)              # [k,k,i,o]
-        if self.fused_mod_bwd:
+        if self.packed:
+            assert not self.fused_mod_bwd, \
+                "fused_mod_bwd and pack_pairs are mutually exclusive opt-ins"
+            s_eff = s.reshape(n // 2, 2 * in_ch)             # pair blocks
+            w_eff = _blkdiag2(w)                             # [k,k,2i,2o]
+            x_mod = x.astype(self.dtype) * s_eff[:, None, None, :]
+        elif self.fused_mod_bwd:
             # import gated on the opt-in flag: ops/mod_backward pulls in
             # pallas at module scope, which must not become a hard
             # dependency of the default (plain-XLA) forward
             from pix2latent_tpu.ops.mod_backward import modulate
+            w_eff = w
             x_mod = modulate(x.astype(self.dtype), s, fused=True)
         else:
+            w_eff = w
             x_mod = x.astype(self.dtype) * s[:, None, None, :]
 
         if self.up:
             # conv_transpose(stride 2, VALID) == dilated conv with flipped,
             # io-swapped kernel
-            rhs = jnp.flip(w, axis=(0, 1))                   # [k,k,i,o]
+            rhs = jnp.flip(w_eff, axis=(0, 1))               # [k,k,i,o]
             y = jax.lax.conv_general_dilated(
                 x_mod, rhs,
                 window_strides=(1, 1),
@@ -142,7 +187,7 @@ class ModulatedConv(nn.Module):
         else:
             pad = k // 2
             y = jax.lax.conv_general_dilated(
-                x_mod, w, (1, 1), ((pad, pad), (pad, pad)),
+                x_mod, w_eff, (1, 1), ((pad, pad), (pad, pad)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         if self.demodulate:
@@ -151,14 +196,28 @@ class ModulatedConv(nn.Module):
             s32 = s.astype(jnp.float32)
             w2 = jnp.sum(w32 ** 2, axis=(0, 1))              # [i,o]
             d = jax.lax.rsqrt((s32 ** 2) @ w2 + 1e-8)        # [n,o]
+            if self.packed:
+                d = d.reshape(n // 2, 2 * self.out_ch)
             y = y * d[:, None, None, :].astype(y.dtype)
         return y
 
 
 class NoiseInjection(nn.Module):
+    packed: bool = False
+
     @nn.compact
     def __call__(self, x, noise):
         w = self.param("weight", nn.initializers.zeros, ())
+        if self.packed and noise.shape[0] > 1:
+            # per-sample noise [n,H,W,1] must land on its member's channel
+            # block: view x as [n/2,H,W,2,c] (a bitcast — 2c is contiguous)
+            # and broadcast noise pairs [n/2,H,W,2,1]; fuses, no transpose
+            n2, h, ww, c2 = x.shape
+            noise_p = noise.reshape(n2, 2, h, ww).transpose(0, 2, 3, 1)
+            y = x.reshape(n2, h, ww, 2, c2 // 2) \
+                + w * noise_p[..., None].astype(x.dtype)
+            return y.reshape(n2, h, ww, c2)
+        # shared buffer [1,H,W,1] broadcasts identically over both members
         return x + w * noise.astype(x.dtype)
 
 
@@ -168,14 +227,22 @@ class StyledConv(nn.Module):
     up: bool = False
     dtype: Any = jnp.float32
     fused_mod_bwd: bool = False
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, style, noise):
+        # the generator skips the pack transpose for single-sample probes
+        # (param init); detect by shape so the modules run their unpacked
+        # twins — params are identical either way
+        packed = self.packed and x.shape[0] != style.shape[0]
         y = ModulatedConv(self.out_ch, self.kernel_size, up=self.up,
                           dtype=self.dtype, name="conv",
-                          fused_mod_bwd=self.fused_mod_bwd)(x, style)
-        y = NoiseInjection(name="noise")(y, noise)
+                          fused_mod_bwd=self.fused_mod_bwd,
+                          packed=packed)(x, style)
+        y = NoiseInjection(name="noise", packed=packed)(y, noise)
         bias = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        if packed:
+            bias = jnp.tile(bias, 2)
         return fused_leaky_relu(y, bias)
 
 
@@ -183,12 +250,19 @@ class ToRGB(nn.Module):
     upsample: bool = True
     dtype: Any = jnp.float32
     fused_mod_bwd: bool = False
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x, style, skip=None):
+        packed = self.packed and x.shape[0] != style.shape[0]
         y = ModulatedConv(3, 1, demodulate=False, dtype=self.dtype,
                           name="conv",
-                          fused_mod_bwd=self.fused_mod_bwd)(x, style)
+                          fused_mod_bwd=self.fused_mod_bwd,
+                          packed=packed)(x, style)
+        if packed:
+            # RGB taps are 3-channel — nothing to gain from packed layout
+            # downstream, and the skip accumulation is unpacked
+            y = unpack_pairs(y)
         bias = self.param("bias", nn.initializers.zeros, (3,))
         # RGB accumulation in f32 (skip-sum across all resolutions)
         y = y.astype(jnp.float32) + bias
@@ -215,6 +289,12 @@ class StyleGAN2Generator(nn.Module):
     # fused Pallas modulation backward (ops/mod_backward.py) for all
     # modulated convs — opt-in, measured before defaulting
     fused_mod_bwd: bool = False
+    # population-pair channel packing for thin-channel blocks (<= this
+    # many channels; 0 disables): two population members share the channel
+    # dim so bf16 res>=512 tensors fill all 128 lanes, and the shared
+    # convs run as dense block-diagonal kernels at full MXU width.
+    # Requires an even population. Opt-in, measured before defaulting.
+    pack_pairs_max_ch: int = 0
 
     @property
     def log_size(self):
@@ -260,14 +340,18 @@ class StyleGAN2Generator(nn.Module):
             use_remat = self.remat_from_res and res >= self.remat_from_res
             conv_cls = nn.remat(StyledConv) if use_remat else StyledConv
             rgb_cls = nn.remat(ToRGB) if use_remat else ToRGB
+            pk = bool(self.pack_pairs_max_ch) and ch <= self.pack_pairs_max_ch
             convs.append(conv_cls(ch, up=True, dtype=self.dtype,
                                   name=f"convs_{2 * li}",
-                                  fused_mod_bwd=self.fused_mod_bwd))
+                                  fused_mod_bwd=self.fused_mod_bwd,
+                                  packed=pk))
             convs.append(conv_cls(ch, dtype=self.dtype,
                                   name=f"convs_{2 * li + 1}",
-                                  fused_mod_bwd=self.fused_mod_bwd))
+                                  fused_mod_bwd=self.fused_mod_bwd,
+                                  packed=pk))
             to_rgbs.append(rgb_cls(dtype=self.dtype, name=f"to_rgbs_{li}",
-                                   fused_mod_bwd=self.fused_mod_bwd))
+                                   fused_mod_bwd=self.fused_mod_bwd,
+                                   packed=pk))
         self.convs = convs
         self.to_rgbs = to_rgbs
 
@@ -291,7 +375,16 @@ class StyleGAN2Generator(nn.Module):
         skip = self.to_rgb1(x, w)
 
         noise_i = 1
+        packed = False
         for li in range(self.log_size - 2):
+            if self.convs[2 * li].packed and not packed and n > 1:
+                # single-sample probes (param init / shape inference) skip
+                # the transpose; the modules detect the unpacked shape and
+                # run their unpacked twins (identical params)
+                assert n % 2 == 0, (
+                    f"pack_pairs requires an even population, got {n}")
+                x = pack_pairs(x)          # one transpose at the transition
+                packed = True
             x = self.convs[2 * li](x, w, noises[noise_i])
             x = self.convs[2 * li + 1](x, w, noises[noise_i + 1])
             skip = self.to_rgbs[li](x, w, skip)
@@ -312,7 +405,8 @@ class StyleGAN2(FlaxModel):
     def __init__(self, model: str = "cars", search: str = "z", params=None,
                  pretrained_path: Optional[str] = None, seed: int = 0,
                  channel_multiplier: int = 2, dtype: Any = jnp.float32,
-                 remat_from_res: int = 0, fused_mod_bwd: bool = False):
+                 remat_from_res: int = 0, fused_mod_bwd: bool = False,
+                 pack_pairs_max_ch: int = 0):
         assert model in self.MODELS, model
         assert search in ("z", "w+"), search
         self.im_res = self.MODELS[model]
@@ -321,7 +415,8 @@ class StyleGAN2(FlaxModel):
                                     channel_multiplier=channel_multiplier,
                                     dtype=dtype,
                                     remat_from_res=remat_from_res,
-                                    fused_mod_bwd=fused_mod_bwd)
+                                    fused_mod_bwd=fused_mod_bwd,
+                                    pack_pairs_max_ch=pack_pairs_max_ch)
 
         if params is None and pretrained_path \
                 and str(pretrained_path).endswith(".npz"):

@@ -242,3 +242,70 @@ class TestPopulationPairPacking:
         gp = jax.grad(f_packed)(x)
         np.testing.assert_allclose(np.asarray(gb), np.asarray(gp),
                                    rtol=1e-6, atol=1e-6)
+
+    def test_packed_generator_matches_default(self, sg2):
+        """pack_pairs_max_ch forward == default forward on identical params
+        (z path, w path, explicit per-sample noise, and input grads). Only
+        the reduction order differs (block-diagonal kernels sum 2C
+        channels), so allclose, not bit-equal."""
+        from pix2latent_tpu.models.stylegan2 import StyleGAN2Generator
+        mod, params = sg2
+        packed_mod = StyleGAN2Generator(im_res=32, channel_multiplier=1,
+                                        pack_pairs_max_ch=512)
+        z = jax.random.normal(jax.random.PRNGKey(5), (4, 512))
+
+        a = mod.apply({"params": params}, z)
+        b = packed_mod.apply({"params": params}, z)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+        # w path with explicit per-sample noise (the w+ search surface)
+        noises = [jax.random.normal(jax.random.PRNGKey(10 + i), (4, *s[1:]))
+                  for i, s in enumerate(mod.noise_shapes())]
+        a = mod.apply({"params": params}, z, noises=noises,
+                      input_is_latent=True)
+        b = packed_mod.apply({"params": params}, z, noises=noises,
+                             input_is_latent=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+        # input grads (the inversion workload: frozen params, z grads).
+        # Scale-aware tolerance: reduction-order noise through 7 layers +
+        # the squared loss amplifies to ~1e-6 of the gradient scale
+        # (measured 1.3e-3 at scale 1200); a real packing bug (cross-member
+        # leakage, wrong demod blocks) shows up at O(scale).
+        def loss(m):
+            def f(z):
+                return jnp.sum(m.apply({"params": params}, z) ** 2)
+            return f
+
+        ga = np.asarray(jax.grad(loss(mod))(z))
+        gb = np.asarray(jax.grad(loss(packed_mod))(z))
+        assert np.abs(ga - gb).max() < 1e-4 * np.abs(ga).max(), (
+            np.abs(ga - gb).max(), np.abs(ga).max())
+
+    def test_packed_members_are_isolated(self, sg2):
+        """Block-diagonal kernels keep pair members EXACTLY independent
+        (the off-block zeros kill cross-member terms bit-exactly): changing
+        member 1's latent must not move member 0's output at all."""
+        from pix2latent_tpu.models.stylegan2 import StyleGAN2Generator
+        mod, params = sg2
+        packed_mod = StyleGAN2Generator(im_res=32, channel_multiplier=1,
+                                        pack_pairs_max_ch=512)
+        z = jax.random.normal(jax.random.PRNGKey(6), (4, 512))
+        a = packed_mod.apply({"params": params}, z)
+        z2 = z.at[1].set(-z[1]).at[3].set(2.0 * z[3])
+        b = packed_mod.apply({"params": params}, z2)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
+        assert np.abs(np.asarray(a[1] - b[1])).max() > 0
+
+    def test_packed_requires_even_population(self):
+        from pix2latent_tpu.models.stylegan2 import StyleGAN2Generator
+        mod = StyleGAN2Generator(im_res=32, channel_multiplier=1,
+                                 pack_pairs_max_ch=512)
+        params = mod.init(jax.random.PRNGKey(0),
+                          jnp.zeros((2, 512)))["params"]
+        z = jax.random.normal(jax.random.PRNGKey(1), (3, 512))
+        with pytest.raises(AssertionError, match="even population"):
+            mod.apply({"params": params}, z)
