@@ -43,24 +43,34 @@ BLUR_KERNEL = (1, 3, 3, 1)
 
 
 def pack_pairs(x):
-    """[n,H,W,c] -> [n//2,H,W,2c]: member 2i in channels [:c], 2i+1 in
-    [c:]. Thin-channel (c<=64) bf16 tensors fill only half the 128-lane
-    registers (2x HBM padding, the measured StyleGAN2-cars ceiling —
-    BASELINE.md round 3); packing two population members into channels
-    restores full lanes, and the frozen shared-weight convs stay exact via
-    block-diagonal kernels (full-width MXU contractions,
-    ``scripts/bench_packed_pairs.py``)."""
-    n, h, w, c = x.shape
-    return x.reshape(n // 2, 2, h, w, c).transpose(0, 2, 3, 1, 4) \
-            .reshape(n // 2, h, w, 2 * c)
+    """[n,H,W,c] -> [n//2,H,W,2c]: member i in channels [:c], member
+    i + n//2 in [c:]. Thin-channel (c<=64) bf16 tensors fill only half the
+    128-lane registers (2x HBM padding, the measured StyleGAN2-cars
+    ceiling — BASELINE.md round 3); packing two population members into
+    channels restores full lanes, and the frozen shared-weight convs stay
+    exact via block-diagonal kernels (full-width MXU contractions,
+    ``scripts/bench_packed_pairs.py``).
+
+    Members pair as (i, i+n//2) — NOT adjacent (2i, 2i+1) — so the pack is
+    a channel concat of two contiguous batch halves (a lane-fill XLA can
+    fuse) rather than a pair-interleave transpose, which the TPU profile
+    showed spawning cascading full-tensor layout copies (~18 ms/step on
+    cars-512). Any fixed pairing is valid: members are independent."""
+    n = x.shape[0]
+    return jnp.concatenate([x[: n // 2], x[n // 2:]], axis=-1)
 
 
 def unpack_pairs(y):
-    """Inverse of :func:`pack_pairs`."""
-    n2, h, w, c2 = y.shape
-    c = c2 // 2
-    return y.reshape(n2, h, w, 2, c).transpose(0, 3, 1, 2, 4) \
-            .reshape(2 * n2, h, w, c)
+    """Inverse of :func:`pack_pairs` (restores original member order)."""
+    c = y.shape[-1] // 2
+    return jnp.concatenate([y[..., :c], y[..., c:]], axis=0)
+
+
+def pack_rows(s):
+    """Per-sample row vectors [n,c] -> [n//2,2c] with :func:`pack_pairs`'s
+    (i, i+n//2) pairing — styles/demod factors for the packed channel dim."""
+    n = s.shape[0]
+    return jnp.concatenate([s[: n // 2], s[n // 2:]], axis=-1)
 
 
 def _blkdiag2(w):
@@ -155,7 +165,7 @@ class ModulatedConv(nn.Module):
         if self.packed:
             assert not self.fused_mod_bwd, \
                 "fused_mod_bwd and pack_pairs are mutually exclusive opt-ins"
-            s_eff = s.reshape(n // 2, 2 * in_ch)             # pair blocks
+            s_eff = pack_rows(s)                             # half blocks
             w_eff = _blkdiag2(w)                             # [k,k,2i,2o]
             x_mod = x.astype(self.dtype) * s_eff[:, None, None, :]
         elif self.fused_mod_bwd:
@@ -197,7 +207,7 @@ class ModulatedConv(nn.Module):
             w2 = jnp.sum(w32 ** 2, axis=(0, 1))              # [i,o]
             d = jax.lax.rsqrt((s32 ** 2) @ w2 + 1e-8)        # [n,o]
             if self.packed:
-                d = d.reshape(n // 2, 2 * self.out_ch)
+                d = pack_rows(d)
             y = y * d[:, None, None, :].astype(y.dtype)
         return y
 
@@ -211,9 +221,11 @@ class NoiseInjection(nn.Module):
         if self.packed and noise.shape[0] > 1:
             # per-sample noise [n,H,W,1] must land on its member's channel
             # block: view x as [n/2,H,W,2,c] (a bitcast — 2c is contiguous)
-            # and broadcast noise pairs [n/2,H,W,2,1]; fuses, no transpose
+            # and broadcast the half-paired noise [n/2,H,W,2,1]; slicing
+            # batch halves fuses — no transpose
             n2, h, ww, c2 = x.shape
-            noise_p = noise.reshape(n2, 2, h, ww).transpose(0, 2, 3, 1)
+            noise_p = jnp.stack([noise[:n2, ..., 0], noise[n2:, ..., 0]],
+                                axis=-1)
             y = x.reshape(n2, h, ww, 2, c2 // 2) \
                 + w * noise_p[..., None].astype(x.dtype)
             return y.reshape(n2, h, ww, c2)
@@ -340,6 +352,14 @@ class StyleGAN2Generator(nn.Module):
             use_remat = self.remat_from_res and res >= self.remat_from_res
             conv_cls = nn.remat(StyledConv) if use_remat else StyledConv
             rgb_cls = nn.remat(ToRGB) if use_remat else ToRGB
+            # whole blocks pack — the boundary sits at the block ENTRY,
+            # before the up-conv. A "principled" variant that kept the
+            # up-conv unpacked when its input is lane-full (blkdiag doubles
+            # its FLOPs for no lane win) measured FAR worse on the real
+            # chip: the mid-block boundary spawns full-tensor layout copies
+            # that dwarf the FLOPs. cars-512 bf16 A/B (img/s): unpacked
+            # 225.4 | entry+halves 219.4 | entry+interleave 205.9 |
+            # mid+halves 157.6 | mid+interleave 156.1 (BASELINE.md round 3)
             pk = bool(self.pack_pairs_max_ch) and ch <= self.pack_pairs_max_ch
             convs.append(conv_cls(ch, up=True, dtype=self.dtype,
                                   name=f"convs_{2 * li}",
@@ -376,16 +396,22 @@ class StyleGAN2Generator(nn.Module):
 
         noise_i = 1
         packed = False
-        for li in range(self.log_size - 2):
-            if self.convs[2 * li].packed and not packed and n > 1:
-                # single-sample probes (param init / shape inference) skip
-                # the transpose; the modules detect the unpacked shape and
-                # run their unpacked twins (identical params)
+
+        def maybe_pack(x, mod, packed):
+            # one halves-concat at the first packed layer (the transition
+            # block's entry); single-sample probes (param init / shape
+            # inference) skip it and the modules detect the unpacked
+            # shape and run their unpacked twins (identical params)
+            if mod.packed and not packed and n > 1:
                 assert n % 2 == 0, (
                     f"pack_pairs requires an even population, got {n}")
-                x = pack_pairs(x)          # one transpose at the transition
-                packed = True
+                return pack_pairs(x), True
+            return x, packed
+
+        for li in range(self.log_size - 2):
+            x, packed = maybe_pack(x, self.convs[2 * li], packed)
             x = self.convs[2 * li](x, w, noises[noise_i])
+            x, packed = maybe_pack(x, self.convs[2 * li + 1], packed)
             x = self.convs[2 * li + 1](x, w, noises[noise_i + 1])
             skip = self.to_rgbs[li](x, w, skip)
             noise_i += 2

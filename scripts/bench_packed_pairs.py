@@ -157,6 +157,80 @@ def main():
     print(f"mul+chanreduce batch {tb*1e3:7.2f} ms   "
           f"packed {tp*1e3:7.2f} ms   ({tb/tp:.2f}x)")
 
+    # -- 4. up-conv at the block transition --------------------------------- #
+    # The transition block's up-conv has a lane-full input (prev block's
+    # 2C channels at H/2) and a thin output: [P,H/2,H/2,2C] -> [P,H,H,C].
+    # Three forms: unpacked batch; packed input + grouped g=2 kernel (same
+    # FLOPs, both groups 2C-wide); packed + dense blkdiag (2x FLOPs).
+    CIN, HU = 2 * C, H // 2
+    wu = jax.random.normal(key, (K, K, CIN, C), DT) * 0.05
+    wug = jnp.concatenate([wu, wu], axis=3)              # [K,K,2C,2C] g=2
+    zu = jnp.zeros_like(wu)
+    wud = jnp.concatenate([jnp.concatenate([wu, zu], 3),
+                           jnp.concatenate([zu, wu], 3)], axis=2)
+    xu = jax.random.normal(key, (P, HU, HU, CIN), DT)
+    xup = pack(xu)
+
+    def make_up_step(w, groups):
+        def loss(x):
+            dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+            y = lax.conv_general_dilated(
+                x, w, (1, 1), ((K - 1, K - 1), (K - 1, K - 1)),
+                lhs_dilation=(2, 2), dimension_numbers=dn,
+                feature_group_count=groups)
+            return jnp.sum(y.astype(jnp.float32) ** 2) * 1e-6
+
+        @jax.jit
+        def step(x):
+            g = jax.grad(loss)(x)
+            return (x - jnp.asarray(1e-3, DT) * g,)
+        return step
+
+    tb = timeit(make_up_step(wu, 1), xu)
+    tp = timeit(make_up_step(wug, 2), xup)
+    td = timeit(make_up_step(wud, 1), xup)
+    print(f"upconv fwd+bwd batch {tb*1e3:7.2f} ms   "
+          f"grouped {tp*1e3:7.2f} ms ({tb/tp:.2f}x)   "
+          f"blkdiag {td*1e3:7.2f} ms ({tb/td:.2f}x)")
+
+    # -- 5. the pack transpose itself (fwd + transposed cotangent) ---------- #
+    # at the block ENTRY ([P,H/2,H/2,2C], the 206-img/s integration) vs
+    # MID-BLOCK ([P,H,H,C], the refined rule that measured 156 img/s)
+    def make_pack_step():
+        def loss(x):
+            return jnp.sum(pack(x).astype(jnp.float32) ** 2) * 1e-6
+
+        @jax.jit
+        def step(x):
+            g = jax.grad(loss)(x)
+            return (x - jnp.asarray(1e-3, DT) * g,)
+        return step
+
+    te = timeit(make_pack_step(), xu)
+    tm = timeit(make_pack_step(), xb)
+    print(f"pack transpose entry [{P},{HU},{HU},{CIN}] {te*1e3:7.2f} ms   "
+          f"mid [{P},{H},{H},{C}] {tm*1e3:7.2f} ms")
+
+    # halves pairing (i, i+P/2): a channel concat of two contiguous batch
+    # halves — a lane-fill, not a sublane shuffle (what the model now uses)
+    def make_halves_step():
+        def loss(x):
+            p = x.shape[0]
+            xh = jnp.concatenate([x[: p // 2], x[p // 2:]], axis=-1)
+            return jnp.sum(xh.astype(jnp.float32) ** 2) * 1e-6
+
+        @jax.jit
+        def step(x):
+            g = jax.grad(loss)(x)
+            return (x - jnp.asarray(1e-3, DT) * g,)
+        return step
+
+    te = timeit(make_halves_step(), xu)
+    tm = timeit(make_halves_step(), xb)
+    print(f"pack halves    entry [{P},{HU},{HU},{CIN}] {te*1e3:7.2f} ms   "
+          f"mid [{P},{H},{H},{C}] {tm*1e3:7.2f} ms")
+
     # -- exactness (f32, CPU-checkable) ------------------------------------ #
     wf = w1.astype(jnp.float32)
     xf = xb.astype(jnp.float32)

@@ -300,6 +300,31 @@ class TestPopulationPairPacking:
         np.testing.assert_array_equal(np.asarray(a[2]), np.asarray(b[2]))
         assert np.abs(np.asarray(a[1] - b[1])).max() > 0
 
+    def test_transition_block_matches_default(self):
+        """The pack boundary sits at the transition block's ENTRY, so its
+        up-conv runs blkdiag with an asymmetric kernel (input = the thicker
+        previous-block channels). im_res=64/cm=1 with max_ch=256 builds
+        exactly that boundary: res-64 ch=256, previous block 512 — the
+        up-conv packs [3,3,1024,512] while later layers are square."""
+        from pix2latent_tpu.models.stylegan2 import StyleGAN2Generator
+        mod = StyleGAN2Generator(im_res=64, channel_multiplier=1)
+        packed_mod = StyleGAN2Generator(im_res=64, channel_multiplier=1,
+                                        pack_pairs_max_ch=256)
+        params = mod.init(jax.random.PRNGKey(0),
+                          jnp.zeros((2, 512)))["params"]
+        z = jax.random.normal(jax.random.PRNGKey(7), (4, 512))
+        a = mod.apply({"params": params}, z)
+        b = packed_mod.apply({"params": params}, z)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+        ga = np.asarray(jax.grad(lambda z: jnp.sum(
+            mod.apply({"params": params}, z) ** 2))(z))
+        gb = np.asarray(jax.grad(lambda z: jnp.sum(
+            packed_mod.apply({"params": params}, z) ** 2))(z))
+        assert np.abs(ga - gb).max() < 1e-4 * np.abs(ga).max(), (
+            np.abs(ga - gb).max(), np.abs(ga).max())
+
     def test_packed_requires_even_population(self):
         from pix2latent_tpu.models.stylegan2 import StyleGAN2Generator
         mod = StyleGAN2Generator(im_res=32, channel_multiplier=1,
