@@ -174,17 +174,27 @@ class ExecutionCore:
         """Population size: the max leading dim (deduped outputs are 1-row)."""
         return max(a.shape[0] for a in jax.tree.leaves(variables))
 
+    def _chunk_spec(self, variables):
+        """(n_chunks, chunk_size, pad_rows) for the current population.
+
+        Chunks are exactly ``max_batch_size`` rows; when the population
+        does not divide evenly the LAST chunk is padded by wrapping the
+        first ``pad_rows`` population rows (their results and gradients are
+        sliced away — exact, since per-sample losses are independent).
+        Wrap-padding keeps peak memory at the requested chunk size for ANY
+        population: the old divisor rule silently degraded awkward sizes
+        (pop 7 with mbs 4 ran 7 chunks of 1; pop 22 with mbs 4 ran 11 of
+        2 — far more serialization than asked for)."""
+        pop = self._pop(variables)
+        if not self.max_batch_size or pop <= self.max_batch_size:
+            return 1, pop, 0
+        chunk = self.max_batch_size
+        n = -(-pop // chunk)
+        return n, chunk, n * chunk - pop
+
     def _n_chunks(self, variables) -> int:
         """Number of sequential microbatches for the current population."""
-        if not self.max_batch_size:
-            return 1
-        pop = self._pop(variables)
-        if pop <= self.max_batch_size:
-            return 1
-        n = -(-pop // self.max_batch_size)
-        while pop % n:
-            n += 1
-        return n
+        return self._chunk_spec(variables)[0]
 
     def _value_and_grad(self, params, variables, ctx=None):
         """(per_sample, out), grads — chunked over the population when
@@ -193,7 +203,7 @@ class ExecutionCore:
         optional precomputed loss context (see :meth:`_make_ctx`)."""
         grad_fn = jax.value_and_grad(self._forward_loss, argnums=1,
                                      has_aux=True)
-        n = self._n_chunks(variables)
+        n, chunk, pad = self._chunk_spec(variables)
         if n == 1:
             (_, (per_sample, out)), grads = grad_fn(params, variables, ctx)
             return per_sample, out, grads
@@ -203,9 +213,13 @@ class ExecutionCore:
         # shared 1-row leaves (deduped outputs) stay OUT of the map — they
         # are closed over (a broadcast into the map stack tiles 42x on TPU)
         idx = [i for i, a in enumerate(leaves) if a.shape[0] == pop]
-        mapped = tuple(
-            leaves[i].reshape(n, pop // n, *leaves[i].shape[1:])
-            for i in idx)
+
+        def to_chunks(a):
+            if pad:
+                a = jnp.concatenate([a, a[:pad]])     # wrap-pad last chunk
+            return a.reshape(n, chunk, *a.shape[1:])
+
+        mapped = tuple(to_chunks(leaves[i]) for i in idx)
 
         def rebuild(mapped_leaves):
             full = list(leaves)
@@ -213,9 +227,11 @@ class ExecutionCore:
                 full[i] = mapped_leaves[j]
             return jax.tree_util.tree_unflatten(treedef, full)
 
-        # each chunk's loss is a mean over chunk_size samples; rescale grads
-        # so the result equals the whole-population mean's gradient exactly
-        scale = (pop // n) / pop
+        # each chunk's loss is a mean over chunk_size samples, so every real
+        # row's grad arrives as (1/chunk)*dL_row (padded duplicates only
+        # affect their own sliced-away rows); rescale so the result equals
+        # the whole-population mean's gradient exactly
+        scale = chunk / pop
 
         def one(mapped_leaves):
             def loss_of(ml):
@@ -230,7 +246,8 @@ class ExecutionCore:
         out_shape = self._out_shape(
             params, rebuild(tuple(m[0] for m in mapped)))
         ps, out_flat, grads_mapped = jax.lax.map(one, mapped)
-        unchunk = lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
+        unchunk = lambda a: a.reshape(
+            a.shape[0] * a.shape[1], *a.shape[2:])[:pop]
         out = unchunk(out_flat).reshape(pop, *out_shape[1:])
         # grads tree matching `variables`: zeros for shared (frozen) leaves
         grad_leaves = [jnp.zeros_like(a) for a in leaves]
@@ -241,16 +258,20 @@ class ExecutionCore:
 
     def _eval_chunked(self, params, variables, ctx=None):
         """(per_sample, out) without gradients, chunked like above."""
-        n = self._n_chunks(variables)
+        n, chunk, pad = self._chunk_spec(variables)
         if n == 1:
             _, (per_sample, out) = self._forward_loss(params, variables, ctx)
             return per_sample, out
         pop = self._pop(variables)
         leaves, treedef = jax.tree_util.tree_flatten(variables)
         idx = [i for i, a in enumerate(leaves) if a.shape[0] == pop]
-        mapped = tuple(
-            leaves[i].reshape(n, pop // n, *leaves[i].shape[1:])
-            for i in idx)
+
+        def to_chunks(a):
+            if pad:
+                a = jnp.concatenate([a, a[:pad]])     # wrap-pad last chunk
+            return a.reshape(n, chunk, *a.shape[1:])
+
+        mapped = tuple(to_chunks(leaves[i]) for i in idx)
 
         def rebuild(mapped_leaves):
             full = list(leaves)
@@ -266,7 +287,8 @@ class ExecutionCore:
         out_shape = self._out_shape(
             params, rebuild(tuple(m[0] for m in mapped)))
         ps, out_flat = jax.lax.map(one, mapped)
-        unchunk = lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
+        unchunk = lambda a: a.reshape(
+            a.shape[0] * a.shape[1], *a.shape[2:])[:pop]
         out = unchunk(out_flat).reshape(pop, *out_shape[1:])
         return unchunk(ps), out
 

@@ -65,15 +65,22 @@ class TestDedupeOutputs:
 
 
 class TestChunkSelection:
-    @pytest.mark.parametrize("pop,mbs,expect", [
-        (22, 6, 11), (22, 11, 2), (18, 9, 2), (18, 5, 6),
-        (10, 4, 5), (6, 6, 1), (6, None, 1),
+    @pytest.mark.parametrize("pop,mbs,expect,pad", [
+        (22, 6, 4, 2), (22, 11, 2, 0), (18, 9, 2, 0), (18, 5, 4, 2),
+        (10, 4, 3, 2), (7, 4, 2, 1), (6, 6, 1, 0), (6, None, 1, 0),
     ])
-    def test_n_chunks(self, setup, pop, mbs, expect):
+    def test_chunk_spec(self, setup, pop, mbs, expect, pad):
+        """Chunks are exactly mbs rows with a wrap-padded last chunk — the
+        old nearest-divisor rule silently over-serialized awkward pops
+        (22/6 ran 11 chunks of 2; a prime pop degenerated to chunks of 1)."""
         model, vm, loss = setup
         core = ExecutionCore(model, vm, loss, max_batch_size=mbs)
         v = vm.initialize(pop)
+        n, chunk, got_pad = core._chunk_spec(v)
+        assert (n, got_pad) == (expect, pad)
         assert core._n_chunks(v) == expect
+        if mbs is not None and pop > mbs:
+            assert chunk == mbs
 
     def test_pop_ignores_deduped_rows(self, setup):
         model, vm, loss = setup

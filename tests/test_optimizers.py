@@ -252,23 +252,28 @@ class TestMicrobatching:
         """max_batch_size runs must produce the same optimization trajectory
         as whole-population runs (chunked lax.map is exact, not approximate)."""
         target, _ = target_and_z
-        results = []
-        for mbs in (None, 2):
-            vm = make_vm(target)
-            opt = GradientOptimizer(model, vm, loss_fn, max_batch_size=mbs,
-                                    track_variables=False, seed=0)
-            variables, outs, losses = opt.optimize(num_samples=6,
-                                                   grad_steps=10)
-            results.append((np.asarray(variables["input"]["z"]),
-                            np.asarray(losses[-1][1]["loss"])))
-        np.testing.assert_allclose(results[0][0], results[1][0], atol=1e-5)
-        np.testing.assert_allclose(results[0][1], results[1][1], atol=1e-5)
+        # pop 6 / mbs 2 divides evenly; pop 7 / mbs 3 exercises the
+        # wrap-padded last chunk (7 = 2*3 + 1) — both must be EXACT
+        for pop, mbs in ((6, 2), (7, 3)):
+            results = []
+            for m in (None, mbs):
+                vm = make_vm(target)
+                opt = GradientOptimizer(model, vm, loss_fn, max_batch_size=m,
+                                        track_variables=False, seed=0)
+                variables, outs, losses = opt.optimize(num_samples=pop,
+                                                       grad_steps=10)
+                results.append((np.asarray(variables["input"]["z"]),
+                                np.asarray(losses[-1][1]["loss"])))
+            np.testing.assert_allclose(results[0][0], results[1][0],
+                                       atol=1e-5)
+            np.testing.assert_allclose(results[0][1], results[1][1],
+                                       atol=1e-5)
 
     def test_nondivisible_population_handled(self, model, target_and_z):
         target, _ = target_and_z
         vm = make_vm(target)
         opt = GradientOptimizer(model, vm, loss_fn, max_batch_size=4)
-        # pop 10 with max 4 -> 5 chunks of 2 (nearest divisor)
+        # pop 10 with max 4 -> 3 chunks of 4, last wrap-padded by 2
         variables, outs, losses = opt.optimize(num_samples=10, grad_steps=5)
         assert losses[-1][1]["loss"].shape == (10,)
 
