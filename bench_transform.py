@@ -70,8 +70,15 @@ def _build(dtype, m):
     vm.register("t", shape=(3,), var_type="transform", requires_grad=False,
                 grad_free=(np.array([1.0, 0.0, 0.0]), 0.3))
 
+    # PIX2LATENT_BENCH_TRANSFORM_MBS=<k>: in-graph population microbatching
+    # (core lax.map over chunks of k samples) — the A/B switch for the M=8
+    # working-set spill (BASELINE.md: M=8 regressed to 1.17x; under vmap the
+    # chunked map bounds the in-flight set to M x k images instead of
+    # M x pop)
+    mbs = int(os.environ.get("PIX2LATENT_BENCH_TRANSFORM_MBS", "0")) or None
     opt = TransformBasinCMAOptimizer(model, vm, loss_fn,
-                                     track_variables=False)
+                                     track_variables=False,
+                                     max_batch_size=mbs)
     opt.register_transform(SpatialTransform(sensitivity=0.1), "t", "target")
     opt.register_transform(SpatialTransform(sensitivity=0.1), "t", "weight")
     opt.set_variable_propagation("z")

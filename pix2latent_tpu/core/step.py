@@ -209,23 +209,9 @@ class ExecutionCore:
             return per_sample, out, grads
 
         pop = self._pop(variables)
-        leaves, treedef = jax.tree_util.tree_flatten(variables)
-        # shared 1-row leaves (deduped outputs) stay OUT of the map — they
-        # are closed over (a broadcast into the map stack tiles 42x on TPU)
-        idx = [i for i, a in enumerate(leaves) if a.shape[0] == pop]
-
-        def to_chunks(a):
-            if pad:
-                a = jnp.concatenate([a, a[:pad]])     # wrap-pad last chunk
-            return a.reshape(n, chunk, *a.shape[1:])
-
-        mapped = tuple(to_chunks(leaves[i]) for i in idx)
-
-        def rebuild(mapped_leaves):
-            full = list(leaves)
-            for j, i in enumerate(idx):
-                full[i] = mapped_leaves[j]
-            return jax.tree_util.tree_unflatten(treedef, full)
+        vc = self._split_chunked(variables, ctx, pop, n, chunk, pad)
+        leaves, idx, mapped_v, cleaves, cidx, mapped_c, rebuild = vc
+        treedef = jax.tree_util.tree_structure(variables)
 
         # each chunk's loss is a mean over chunk_size samples, so every real
         # row's grad arrives as (1/chunk)*dL_row (padded duplicates only
@@ -233,19 +219,24 @@ class ExecutionCore:
         # the whole-population mean's gradient exactly
         scale = chunk / pop
 
-        def one(mapped_leaves):
-            def loss_of(ml):
-                return self._forward_loss(params, rebuild(ml), ctx)
+        def one(operand):
+            vml, cml = operand
+
+            def loss_of(vml):
+                vars_, ctx_ = rebuild(vml, cml)
+                return self._forward_loss(params, vars_, ctx_)
+
             (_, (ps, o)), g = jax.value_and_grad(
-                loss_of, has_aux=True)(mapped_leaves)
+                loss_of, has_aux=True)(vml)
             # flatten images: a stacked [n, chunk, H, W, 3] tiles its 3-wide
             # minor dim to 128 lanes on TPU (42x padding, 11GB at 1024^2)
             o_flat = o.reshape(o.shape[0], -1)
             return ps, o_flat, jax.tree.map(lambda x: x * scale, g)
 
-        out_shape = self._out_shape(
-            params, rebuild(tuple(m[0] for m in mapped)))
-        ps, out_flat, grads_mapped = jax.lax.map(one, mapped)
+        probe_v, probe_c = rebuild(tuple(m[0] for m in mapped_v),
+                                   tuple(m[0] for m in mapped_c))
+        out_shape = self._out_shape(params, probe_v)
+        ps, out_flat, grads_mapped = jax.lax.map(one, (mapped_v, mapped_c))
         unchunk = lambda a: a.reshape(
             a.shape[0] * a.shape[1], *a.shape[2:])[:pop]
         out = unchunk(out_flat).reshape(pop, *out_shape[1:])
@@ -256,6 +247,42 @@ class ExecutionCore:
         grads = jax.tree_util.tree_unflatten(treedef, grad_leaves)
         return unchunk(ps), out, grads
 
+    def _split_chunked(self, variables, ctx, pop, n, chunk, pad):
+        """Chunking plumbing shared by the grad and eval paths: wrap-pad and
+        reshape every population-leading leaf of ``variables`` AND of the
+        precomputed loss ``ctx`` (per-sample transform targets give ctx
+        pop-leading feature pyramids — leaving them whole under the chunked
+        map would broadcast against the chunk and mix rows). Shared 1-row
+        leaves (deduped outputs, broadcast ctx) stay OUT of the map — they
+        are closed over (a broadcast into the map stack tiles 42x on TPU).
+        Returns (leaves, idx, mapped_v, cleaves, cidx, mapped_c, rebuild)
+        where rebuild(vml, cml) -> (variables, ctx) for one chunk."""
+        leaves, treedef = jax.tree_util.tree_flatten(variables)
+        idx = [i for i, a in enumerate(leaves) if a.shape[0] == pop]
+        cleaves, ctreedef = jax.tree_util.tree_flatten(ctx)
+        cidx = [i for i, a in enumerate(cleaves)
+                if jnp.ndim(a) > 0 and a.shape[0] == pop]
+
+        def to_chunks(a):
+            if pad:
+                a = jnp.concatenate([a, a[:pad]])     # wrap-pad last chunk
+            return a.reshape(n, chunk, *a.shape[1:])
+
+        mapped_v = tuple(to_chunks(leaves[i]) for i in idx)
+        mapped_c = tuple(to_chunks(cleaves[i]) for i in cidx)
+
+        def rebuild(vml, cml):
+            full = list(leaves)
+            for j, i in enumerate(idx):
+                full[i] = vml[j]
+            cfull = list(cleaves)
+            for j, i in enumerate(cidx):
+                cfull[i] = cml[j]
+            return (jax.tree_util.tree_unflatten(treedef, full),
+                    jax.tree_util.tree_unflatten(ctreedef, cfull))
+
+        return leaves, idx, mapped_v, cleaves, cidx, mapped_c, rebuild
+
     def _eval_chunked(self, params, variables, ctx=None):
         """(per_sample, out) without gradients, chunked like above."""
         n, chunk, pad = self._chunk_spec(variables)
@@ -263,30 +290,19 @@ class ExecutionCore:
             _, (per_sample, out) = self._forward_loss(params, variables, ctx)
             return per_sample, out
         pop = self._pop(variables)
-        leaves, treedef = jax.tree_util.tree_flatten(variables)
-        idx = [i for i, a in enumerate(leaves) if a.shape[0] == pop]
+        vc = self._split_chunked(variables, ctx, pop, n, chunk, pad)
+        _, _, mapped_v, _, _, mapped_c, rebuild = vc
 
-        def to_chunks(a):
-            if pad:
-                a = jnp.concatenate([a, a[:pad]])     # wrap-pad last chunk
-            return a.reshape(n, chunk, *a.shape[1:])
-
-        mapped = tuple(to_chunks(leaves[i]) for i in idx)
-
-        def rebuild(mapped_leaves):
-            full = list(leaves)
-            for j, i in enumerate(idx):
-                full[i] = mapped_leaves[j]
-            return jax.tree_util.tree_unflatten(treedef, full)
-
-        def one(mapped_leaves):
-            _, (ps, o) = self._forward_loss(params, rebuild(mapped_leaves),
-                                            ctx)
+        def one(operand):
+            vml, cml = operand
+            vars_, ctx_ = rebuild(vml, cml)
+            _, (ps, o) = self._forward_loss(params, vars_, ctx_)
             return ps, o.reshape(o.shape[0], -1)   # flat: see _value_and_grad
 
-        out_shape = self._out_shape(
-            params, rebuild(tuple(m[0] for m in mapped)))
-        ps, out_flat = jax.lax.map(one, mapped)
+        probe_v, _ = rebuild(tuple(m[0] for m in mapped_v),
+                             tuple(m[0] for m in mapped_c))
+        out_shape = self._out_shape(params, probe_v)
+        ps, out_flat = jax.lax.map(one, (mapped_v, mapped_c))
         unchunk = lambda a: a.reshape(
             a.shape[0] * a.shape[1], *a.shape[2:])[:pop]
         out = unchunk(out_flat).reshape(pop, *out_shape[1:])

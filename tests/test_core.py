@@ -89,6 +89,51 @@ class TestChunkSelection:
         assert core._pop(v) == 6
         assert core._n_chunks(v) == 3
 
+    @pytest.mark.parametrize("pop,mbs", [(7, 4), (6, 2)])
+    def test_per_sample_ctx_is_chunked(self, pop, mbs):
+        """Per-sample precomputed loss context must chunk WITH the
+        population: a per-sample transform warps the target per sample, so
+        ``loss_fn.precompute`` returns pop-leading tensors. Leaving them
+        whole under the chunked map broadcast against the chunk and mixed
+        rows (silently, when the old divisor rule picked chunks of 1)."""
+        from pix2latent_tpu.transform import SpatialTransform
+        model = make_toy_model(z_dim=4, res=8, width=8, seed=0)
+        vm = VariableManager(seed=0)
+        vm.register("z", shape=(4,), var_type="input")
+        vm.register("target", shape=(8, 8, 3), var_type="output",
+                    requires_grad=False, default=jnp.zeros((8, 8, 3)))
+        vm.register("weight", shape=(8, 8, 3), var_type="output",
+                    requires_grad=False, default=jnp.ones((8, 8, 3)))
+        vm.register("t", shape=(3,), var_type="transform",
+                    requires_grad=False,
+                    grad_free=(np.array([1.0, 0.0, 0.0]), 0.3))
+        loss = LF.ReconstructionLoss(loss_type="l1")
+
+        def run(mbs):
+            core = ExecutionCore(model, vm, loss, max_batch_size=mbs)
+            core.register_transform(SpatialTransform(sensitivity=0.5),
+                                    "t", "target")
+            v = vm.initialize(pop, key=jax.random.PRNGKey(0))
+            v["input"]["z"] = jax.random.normal(jax.random.PRNGKey(1),
+                                                (pop, 4))
+            v["transform"]["t"] = jnp.asarray(
+                np.stack([[1.0, 0.05 * i, 0.0] for i in range(pop)]))
+            v = core.apply_transforms(v)
+            v = core._dedupe_outputs(v)
+            ctx = core._make_ctx(v)
+            assert ctx is not None
+            assert any(jnp.ndim(a) > 0 and a.shape[0] == pop
+                       for a in jax.tree.leaves(ctx))
+            ps, out, g = core._value_and_grad(model.params, v, ctx)
+            return (np.asarray(ps), np.asarray(out),
+                    np.asarray(g["input"]["z"]))
+
+        ps0, out0, g0 = run(None)
+        ps1, out1, g1 = run(mbs)
+        np.testing.assert_allclose(ps0, ps1, atol=1e-6)
+        np.testing.assert_allclose(out0, out1, atol=1e-6)
+        np.testing.assert_allclose(g0, g1, atol=1e-6)
+
 
 class TestDonation:
     def test_grad_steps_usable_after_donation(self, setup, key):
