@@ -28,6 +28,7 @@ EXAMPLES=(
     invert_stylegan2_cars_cma
     invert_stylegan2_cars_ng
     invert_stylegan2_cars_hybrid_ng
+    invert_stylegan2_ffhq_basincma
     invert_biggan_basincma_sharded
 )
 
