@@ -98,6 +98,38 @@ def _build(dtype):
     return opt, gen_fn, vm.defaults()
 
 
+TPU_V5E_PEAK_BF16_FLOPS = 197e12   # per-chip MXU peak (bf16)
+
+
+def flops_per_dispatch(gen_fn, example_args):
+    """Total HLO FLOPs of one compiled dispatch via the XLA cost analysis
+    (the same machinery behind BASELINE.md's 162 GFLOP/image figure).
+    Returns None when the backend can't report it (never fails the bench)."""
+    try:
+        ca = gen_fn.lower(*example_args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def mfu_fields(flops, dispatch_time_s, images_per_dispatch):
+    """achieved TFLOP/s + MFU (vs the bf16 MXU peak) — makes the
+    structural-ceiling claims in BASELINE.md mechanically auditable each
+    round (VERDICT.md round 3, weak #6)."""
+    if not flops or not dispatch_time_s:
+        return {"achieved_tflops": None, "mfu_vs_bf16_peak": None,
+                "gflops_per_image": None}
+    achieved = flops / dispatch_time_s
+    return {
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "mfu_vs_bf16_peak": round(achieved / TPU_V5E_PEAK_BF16_FLOPS, 4),
+        "gflops_per_image": round(flops / images_per_dispatch / 1e9, 1),
+    }
+
+
 def _run_gens(opt, gen_fn, defaults, n_gens, seed, state=None,
               time_each=False):
     """Run ``n_gens`` fused generations. Returns (state, gen_mins, times).
@@ -173,6 +205,13 @@ def main():
     # one full reference inversion = 30*30+300 = 1200 fused steps
     inversions_per_hour = 3600.0 / (1200.0 / steps_per_sec)
 
+    # achieved TFLOP/s + MFU of the timed program (cost analysis of the
+    # exact compiled generation; cached compile, no extra device work)
+    gen_flops = flops_per_dispatch(
+        gen_fn, (opt.model.params, defaults, state, jax.random.PRNGKey(0),
+                 jnp.asarray(0, jnp.int32)))
+    mfu = mfu_fields(gen_flops, gen_time, POP * GRAD_STEPS)
+
     result = {
         "metric": "BigGAN-256 BasinCMA images/sec/chip "
                   "(pop x fused fwd+bwd+Adam steps, incl. CMA ask/tell)",
@@ -198,6 +237,7 @@ def main():
                 PYTORCH_V100_BASELINE_IMAGES_PER_SEC,
             "compute_dtype": _DTYPE_NAME,
             "backend": jax.default_backend(),
+            **mfu,
         },
     }
     print(json.dumps(result))

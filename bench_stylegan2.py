@@ -88,9 +88,16 @@ def main():
         float(gen_min)                       # terminal true sync
         span = time.time() - span_t0
 
+        from bench import flops_per_dispatch, mfu_fields
+        gen_time = span / TIMED_GENS
+        gen_flops = flops_per_dispatch(
+            gen_fn, (model.params, defaults, state, opt.next_key(),
+                     jnp.asarray(0, jnp.int32)))
+        mfu = mfu_fields(gen_flops, gen_time, POP * GRAD_STEPS)
+
     import numpy as np
     times = np.asarray(times)
-    steps_per_sec = GRAD_STEPS / (span / TIMED_GENS)
+    steps_per_sec = GRAD_STEPS / gen_time
     print(json.dumps({
         "metric": "StyleGAN2-cars-512 BasinCMA images/sec/chip",
         "value": round(steps_per_sec * POP, 2),
@@ -99,10 +106,11 @@ def main():
         "detail": {"steps_per_sec": round(steps_per_sec, 3),
                    "population": POP,
                    "timed_generations": TIMED_GENS,
-                   "gen_time_mean_s": round(span / TIMED_GENS, 4),
+                   "gen_time_mean_s": round(gen_time, 4),
                    "gen_time_std_s": round(float(times.std()), 4),
                    "compute_dtype": str(BENCH_DTYPE.__name__),
-                   "backend": jax.default_backend()},
+                   "backend": jax.default_backend(),
+                   **mfu},
     }))
 
 

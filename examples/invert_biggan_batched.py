@@ -28,8 +28,14 @@ def main():
     p.add_argument("--fps", type=str, nargs="*", default=None,
                    help="target image paths (synthetic if omitted)")
     p.add_argument("--class_lbls", type=int, nargs="*", default=[153, 254])
-    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="converted pretrained weights (.npz)")
     p.add_argument("--save_dir", type=str, default="./results/biggan_batched")
+    p.add_argument("--max_batch_size", type=int, default=None,
+                   help="in-graph microbatch size over the M*pop samples "
+                        "(bounds peak memory past the plain-OOM knee)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path for crash-safe resume")
     p.add_argument("--smoke", action="store_true")
     args = p.parse_args()
 
@@ -58,7 +64,8 @@ def main():
     from pix2latent_tpu.optimizers import BatchedBasinCMAOptimizer
     opt = BatchedBasinCMAOptimizer(
         model, loss_fn, z_dim=128, learning_rate=0.05,
-        learnable_inputs={"c": 0.01}, hook_fn=hooks.Clamp(2.0))
+        learnable_inputs={"c": 0.01}, hook_fn=hooks.Clamp(2.0),
+        max_batch_size=args.max_batch_size)
 
     if args.smoke:
         meta, grad, last = 2, 5, 10
@@ -66,7 +73,7 @@ def main():
         meta, grad, last = 30, 30, 300
     res = opt.optimize(targets, weights, fixed_inputs={"c": c},
                        meta_steps=meta, grad_steps=grad,
-                       last_grad_steps=last)
+                       last_grad_steps=last, checkpoint_path=args.resume)
 
     os.makedirs(args.save_dir, exist_ok=True)
     for i in range(m):

@@ -35,6 +35,62 @@ from pix2latent_tpu.utils.image import binarize
 from pix2latent_tpu.variables import VariableManager, Variables
 
 
+def chunk_spec(pop: int, max_batch_size) -> tuple:
+    """(n_chunks, chunk_size, pad_rows) for a population of ``pop`` rows.
+
+    Chunks are exactly ``max_batch_size`` rows; when the population does not
+    divide evenly the LAST chunk is padded by wrapping the first ``pad_rows``
+    population rows (their results and gradients are sliced away — exact,
+    since per-sample losses are independent). Wrap-padding keeps peak memory
+    at the requested chunk size for ANY population: a divisor rule silently
+    degrades awkward sizes (pop 7 with mbs 4 would run 7 chunks of 1; pop 22
+    with mbs 4 would run 11 of 2 — far more serialization than asked for).
+    Shared by :class:`ExecutionCore` and the batched multi-image driver
+    (``optimizers/batched.py``)."""
+    if not max_batch_size or pop <= max_batch_size:
+        return 1, pop, 0
+    chunk = int(max_batch_size)
+    n = -(-pop // chunk)
+    return n, chunk, n * chunk - pop
+
+
+def split_chunked(variables, ctx, pop, n, chunk, pad):
+    """Chunking plumbing shared by the grad and eval paths: wrap-pad and
+    reshape every population-leading leaf of ``variables`` AND of the
+    auxiliary tree ``ctx`` (per-sample precomputed loss contexts, repeated
+    targets, fixed inputs — leaving them whole under the chunked map would
+    broadcast against the chunk and mix rows). Shared 1-row / non-pop leaves
+    stay OUT of the map — they are closed over (a broadcast into the map
+    stack tiles 42x on TPU for thin-channel images).
+    Returns ``(leaves, idx, mapped_v, cleaves, cidx, mapped_c, rebuild)``
+    where ``rebuild(vml, cml) -> (variables, ctx)`` for one chunk."""
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+    idx = [i for i, a in enumerate(leaves) if a.shape[0] == pop]
+    cleaves, ctreedef = jax.tree_util.tree_flatten(ctx)
+    cidx = [i for i, a in enumerate(cleaves)
+            if jnp.ndim(a) > 0 and a.shape[0] == pop]
+
+    def to_chunks(a):
+        if pad:
+            a = jnp.concatenate([a, a[:pad]])     # wrap-pad last chunk
+        return a.reshape(n, chunk, *a.shape[1:])
+
+    mapped_v = tuple(to_chunks(leaves[i]) for i in idx)
+    mapped_c = tuple(to_chunks(cleaves[i]) for i in cidx)
+
+    def rebuild(vml, cml):
+        full = list(leaves)
+        for j, i in enumerate(idx):
+            full[i] = vml[j]
+        cfull = list(cleaves)
+        for j, i in enumerate(cidx):
+            cfull[i] = cml[j]
+        return (jax.tree_util.tree_unflatten(treedef, full),
+                jax.tree_util.tree_unflatten(ctreedef, cfull))
+
+    return leaves, idx, mapped_v, cleaves, cidx, mapped_c, rebuild
+
+
 class ExecutionCore:
     """Builds and caches the jitted step programs for one inversion problem."""
 
@@ -175,22 +231,9 @@ class ExecutionCore:
         return max(a.shape[0] for a in jax.tree.leaves(variables))
 
     def _chunk_spec(self, variables):
-        """(n_chunks, chunk_size, pad_rows) for the current population.
-
-        Chunks are exactly ``max_batch_size`` rows; when the population
-        does not divide evenly the LAST chunk is padded by wrapping the
-        first ``pad_rows`` population rows (their results and gradients are
-        sliced away — exact, since per-sample losses are independent).
-        Wrap-padding keeps peak memory at the requested chunk size for ANY
-        population: the old divisor rule silently degraded awkward sizes
-        (pop 7 with mbs 4 ran 7 chunks of 1; pop 22 with mbs 4 ran 11 of
-        2 — far more serialization than asked for)."""
-        pop = self._pop(variables)
-        if not self.max_batch_size or pop <= self.max_batch_size:
-            return 1, pop, 0
-        chunk = self.max_batch_size
-        n = -(-pop // chunk)
-        return n, chunk, n * chunk - pop
+        """(n_chunks, chunk_size, pad_rows) for the current population
+        (see module-level :func:`chunk_spec` for the wrap-padding rule)."""
+        return chunk_spec(self._pop(variables), self.max_batch_size)
 
     def _n_chunks(self, variables) -> int:
         """Number of sequential microbatches for the current population."""
@@ -248,40 +291,9 @@ class ExecutionCore:
         return unchunk(ps), out, grads
 
     def _split_chunked(self, variables, ctx, pop, n, chunk, pad):
-        """Chunking plumbing shared by the grad and eval paths: wrap-pad and
-        reshape every population-leading leaf of ``variables`` AND of the
-        precomputed loss ``ctx`` (per-sample transform targets give ctx
-        pop-leading feature pyramids — leaving them whole under the chunked
-        map would broadcast against the chunk and mix rows). Shared 1-row
-        leaves (deduped outputs, broadcast ctx) stay OUT of the map — they
-        are closed over (a broadcast into the map stack tiles 42x on TPU).
-        Returns (leaves, idx, mapped_v, cleaves, cidx, mapped_c, rebuild)
-        where rebuild(vml, cml) -> (variables, ctx) for one chunk."""
-        leaves, treedef = jax.tree_util.tree_flatten(variables)
-        idx = [i for i, a in enumerate(leaves) if a.shape[0] == pop]
-        cleaves, ctreedef = jax.tree_util.tree_flatten(ctx)
-        cidx = [i for i, a in enumerate(cleaves)
-                if jnp.ndim(a) > 0 and a.shape[0] == pop]
-
-        def to_chunks(a):
-            if pad:
-                a = jnp.concatenate([a, a[:pad]])     # wrap-pad last chunk
-            return a.reshape(n, chunk, *a.shape[1:])
-
-        mapped_v = tuple(to_chunks(leaves[i]) for i in idx)
-        mapped_c = tuple(to_chunks(cleaves[i]) for i in cidx)
-
-        def rebuild(vml, cml):
-            full = list(leaves)
-            for j, i in enumerate(idx):
-                full[i] = vml[j]
-            cfull = list(cleaves)
-            for j, i in enumerate(cidx):
-                cfull[i] = cml[j]
-            return (jax.tree_util.tree_unflatten(treedef, full),
-                    jax.tree_util.tree_unflatten(ctreedef, cfull))
-
-        return leaves, idx, mapped_v, cleaves, cidx, mapped_c, rebuild
+        """Delegates to the module-level :func:`split_chunked` (shared with
+        the batched multi-image driver)."""
+        return split_chunked(variables, ctx, pop, n, chunk, pad)
 
     def _eval_chunked(self, params, variables, ctx=None):
         """(per_sample, out) without gradients, chunked like above."""

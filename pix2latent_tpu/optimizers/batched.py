@@ -8,6 +8,14 @@ single XLA dispatch. Amortizes dispatch overhead and fills the chip when a
 single population under-utilizes it; the per-image searches remain exactly
 independent (block-diagonal: every sample's loss depends only on its own
 image's target).
+
+Memory scaling: activations and Adam state grow with M*pop, so large M
+spills HBM (M=8 OOMs plain at BigGAN-256 pop 18). ``max_batch_size`` bounds
+the in-flight sample count via the exact wrap-padded in-graph chunking the
+execution core uses (``core/step.py:chunk_spec`` — the reference's
+``max_minibatch`` semantics, ``pix2latent/variable_manager.py:16-46``, but
+inside the compiled program); ``checkpoint_path`` makes the meta loop
+crash-safe with the same one-behind protocol as the other fused drivers.
 """
 
 from __future__ import annotations
@@ -19,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from pix2latent_tpu.core.step import chunk_spec, split_chunked
 from pix2latent_tpu.models.base import as_model
 from pix2latent_tpu.strategies import cma
 from pix2latent_tpu.utils.misc import cprint
@@ -39,13 +48,20 @@ class BatchedBasinCMAOptimizer:
         popsize: per-image CMA population (default ``4+floor(3 ln d)``).
         sigma: initial CMA step size.
         hook_fn: optional pure hook applied to z each step.
+        max_batch_size: when set, the forward/backward runs as a sequential
+            in-graph ``lax.map`` over wrap-padded chunks of this many
+            samples (out of the M*pop concatenated batch) — bounding peak
+            activation/Adam memory so M past the plain-OOM knee still fits
+            (single-chip memory lever; pair it with ``mesh`` only when the
+            per-device rows still exceed the chunk size).
     """
 
     def __init__(self, model, loss_fn, z_dim: int = 128,
                  learning_rate: float = 0.05,
                  learnable_inputs: Optional[Dict[str, float]] = None,
                  popsize: Optional[int] = None, sigma: float = 1.0,
-                 hook_fn=None, seed: int = 0, mesh=None):
+                 hook_fn=None, seed: int = 0, mesh=None,
+                 max_batch_size: Optional[int] = None):
         self.model = as_model(model)
         self.loss_fn = loss_fn
         self.z_dim = int(z_dim)
@@ -56,11 +72,15 @@ class BatchedBasinCMAOptimizer:
         self.hook_fn = hook_fn
         self._key = jax.random.PRNGKey(seed)
         self.cma_params = cma.make_params(z_dim, self.popsize)
+        self.max_batch_size = max_batch_size
         # optional device mesh: the concatenated [M*pop] generator batch is
         # the data-parallel axis (same layout rule as ExecutionCore's fused
         # path — an in-graph with_sharding_constraint, since the batch is
         # created inside jit where device_put can't run)
         self.mesh = mesh
+        # per-generation per-image min tell losses, filled by optimize()
+        self.losses = []
+        self._gen_fns = {}
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -73,69 +93,129 @@ class BatchedBasinCMAOptimizer:
         return optax.multi_transform(
             txs, lambda tree: {k: k for k in tree})
 
+    def _repeat_per_image(self, tree, pop, m):
+        """Repeat every per-image (leading-M) array leaf to per-sample rows:
+        image i owns samples [i*pop, (i+1)*pop)."""
+        return jax.tree.map(
+            lambda a: (jnp.repeat(a, pop, axis=0)
+                       if jnp.ndim(a) > 0 and a.shape[0] == m else a), tree)
+
     def _build_generation(self, m, grad_steps):
         """One XLA program: M asks -> inner Adam scan over the concatenated
         [M*pop] batch -> post-loop re-eval -> per-image tells.
 
-        Per-image data (targets/weights/fixed inputs) arrives via the
-        ``data`` ARGUMENT, so the compiled program is image-independent and
-        caches across image batches (same rule as the single-image fused
-        generation). The loss's target-side context (LPIPS target features)
-        is precomputed once per generation, outside the scan.
+        Per-image data (targets/weights/fixed inputs and the precomputed
+        loss context) arrives via the ``data`` ARGUMENT, so the compiled
+        program is image-independent and caches across image batches (same
+        rule as the single-image fused generation). When ``max_batch_size``
+        is set, every forward/backward (and the post-loop re-eval) runs as
+        a sequential ``lax.map`` over exact wrap-padded chunks — gradients
+        rescaled by chunk/total so the result equals the whole-batch mean's
+        gradient exactly (see ``core/step.py:_value_and_grad``).
         """
         pop = self.popsize
+        total = m * pop
         params_cma = self.cma_params
         adam = self._make_adam()
 
+        def forward_loss(params, learn, aux):
+            out = self.model.apply(params, **learn, **aux["fixed"])
+            if "ctx" in aux:
+                loss_map = self.loss_fn.from_ctx(out, aux["ctx"])
+            else:
+                kwargs = {"target": aux["target"]}
+                if "weight" in aux:
+                    kwargs["weight"] = aux["weight"]
+                loss_map = self.loss_fn(out, **kwargs)
+            rows = out.shape[0]
+            per_sample = loss_map.reshape(rows, -1).mean(axis=1)
+            return per_sample.mean(), per_sample
+
+        def value_and_grad_chunked(params, learn, aux):
+            """per-sample losses [total] + grads like ``learn``; chunked
+            over the concatenated batch when max_batch_size demands it."""
+            n, chunk, pad = chunk_spec(total, self.max_batch_size)
+            if n == 1:
+                grad_fn = jax.value_and_grad(forward_loss, argnums=1,
+                                             has_aux=True)
+                (_, per_sample), grads = grad_fn(params, learn, aux)
+                return per_sample, grads
+            vc = split_chunked(learn, aux, total, n, chunk, pad)
+            leaves, idx, mapped_v, _, _, mapped_c, rebuild = vc
+            treedef = jax.tree_util.tree_structure(learn)
+            # each chunk's loss is a mean over chunk rows, so every real
+            # row's grad arrives as (1/chunk)*dL_row; rescale to match the
+            # whole-batch mean's gradient exactly (padded duplicates only
+            # affect their own sliced-away rows)
+            scale = chunk / total
+
+            def one(operand):
+                vml, cml = operand
+
+                def loss_of(vml):
+                    learn_c, aux_c = rebuild(vml, cml)
+                    return forward_loss(params, learn_c, aux_c)
+
+                (_, ps), g = jax.value_and_grad(
+                    loss_of, has_aux=True)(vml)
+                return ps, jax.tree.map(lambda x: x * scale, g)
+
+            ps, g_mapped = jax.lax.map(one, (mapped_v, mapped_c))
+            unchunk = lambda a: a.reshape(
+                a.shape[0] * a.shape[1], *a.shape[2:])[:total]
+            grad_leaves = [jnp.zeros_like(a) for a in leaves]
+            for j, i in enumerate(idx):
+                grad_leaves[i] = unchunk(g_mapped[j])
+            grads = jax.tree_util.tree_unflatten(treedef, grad_leaves)
+            return unchunk(ps), grads
+
+        def eval_chunked(params, learn, aux):
+            n, chunk, pad = chunk_spec(total, self.max_batch_size)
+            if n == 1:
+                return forward_loss(params, learn, aux)[1]
+            vc = split_chunked(learn, aux, total, n, chunk, pad)
+            _, _, mapped_v, _, _, mapped_c, rebuild = vc
+
+            def one(operand):
+                vml, cml = operand
+                learn_c, aux_c = rebuild(vml, cml)
+                return forward_loss(params, learn_c, aux_c)[1]
+
+            ps = jax.lax.map(one, (mapped_v, mapped_c))
+            return ps.reshape(n * chunk)[:total]
+
         def generation(params, data, states, key, gen_idx):
-            targets = data["targets"]
-            weights = data.get("weights")
             fixed_inputs = data.get("fixed", {})
 
-            # per-sample targets: image i owns samples [i*pop, (i+1)*pop)
-            t_rep = jnp.repeat(targets, pop, axis=0)
-            w_rep = (jnp.repeat(weights, pop, axis=0)
-                     if weights is not None else None)
-            if hasattr(self.loss_fn, "precompute"):
-                ctx = self.loss_fn.precompute(
-                    jax.lax.stop_gradient(t_rep),
-                    None if w_rep is None else jax.lax.stop_gradient(w_rep))
+            aux = {"fixed": {
+                name: jax.lax.stop_gradient(jnp.repeat(v, pop, axis=0))
+                for name, v in fixed_inputs.items()
+                if name not in self.learnable_inputs}}
+            if "ctx" in data:
+                # per-image context (LPIPS target pyramid, precomputed ONCE
+                # per batch on the M unique targets) repeated to per-sample
+                # rows — compute-free vs re-running the backbone on M*pop
+                aux["ctx"] = self._repeat_per_image(data["ctx"], pop, m)
             else:
-                ctx = None
-
-            def forward_loss(params, learn, fixed_rep):
-                out = self.model.apply(params, **learn, **fixed_rep)
-                if ctx is not None:
-                    loss_map = self.loss_fn.from_ctx(out, ctx)
-                else:
-                    kwargs = {"target": t_rep}
-                    if w_rep is not None:
-                        kwargs["weight"] = w_rep
-                    loss_map = self.loss_fn(out, **kwargs)
-                per_sample = loss_map.reshape(m * pop, -1).mean(axis=1)
-                return per_sample.mean(), per_sample
-
-            grad_fn = jax.value_and_grad(forward_loss, argnums=1,
-                                         has_aux=True)
+                aux["target"] = jnp.repeat(data["targets"], pop, axis=0)
+                if data.get("weights") is not None:
+                    aux["weight"] = jnp.repeat(data["weights"], pop, axis=0)
+            aux = jax.lax.stop_gradient(aux)
 
             k_ask, k_scan = jax.random.split(key)
             ask_keys = jax.random.split(k_ask, m)
             x = jax.vmap(lambda s, k: cma.ask(params_cma, s, k))(
                 states, ask_keys)                        # [M, pop, d]
-            z0 = x.reshape(m * pop, self.z_dim)
+            z0 = x.reshape(total, self.z_dim)
 
             learn = {"z": z0}
             for name, default in fixed_inputs.items():
                 if name in self.learnable_inputs:
                     learn[name] = jnp.repeat(default, pop, axis=0)
-            fixed_rep = {
-                name: jax.lax.stop_gradient(jnp.repeat(v, pop, axis=0))
-                for name, v in fixed_inputs.items()
-                if name not in self.learnable_inputs}
             if self.mesh is not None:
                 from pix2latent_tpu.parallel.mesh import constrain_variables
                 learn = constrain_variables(learn, self.mesh)
-                fixed_rep = constrain_variables(fixed_rep, self.mesh)
+                aux = constrain_variables(aux, self.mesh)
 
             opt_state = adam.init(learn)
 
@@ -144,7 +224,8 @@ class BatchedBasinCMAOptimizer:
                 i, k = xs
                 if self.hook_fn is not None:
                     learn = {**learn, "z": self.hook_fn(k, learn["z"], i)}
-                (_, per_sample), grads = grad_fn(params, learn, fixed_rep)
+                per_sample, grads = value_and_grad_chunked(
+                    params, learn, aux)
                 updates, opt_state = adam.update(grads, opt_state, learn)
                 learn = optax.apply_updates(learn, updates)
                 return (learn, opt_state), per_sample
@@ -158,30 +239,52 @@ class BatchedBasinCMAOptimizer:
             # re-evaluate the post-update samples so the CMA tell and the
             # winner selection score the variables actually returned (the
             # single-image path's tell_loss has the same semantics).
-            _, per_sample = forward_loss(params, learn, fixed_rep)
+            per_sample = eval_chunked(params, learn, aux)
             final_loss = per_sample.reshape(m, pop)
             states = jax.vmap(
                 lambda s, xi, li: cma.tell(params_cma, s, xi, li))(
                     states, x, final_loss)
-            return states, learn, final_loss
+            # per-image generation minimum, reduced INSIDE the program so
+            # the host can fetch it one-behind without enqueueing a late op
+            # that would serialize the dispatch queue (BASELINE.md round 3)
+            return states, learn, final_loss, final_loss.min(axis=1)
 
         return jax.jit(generation)
 
+    def _get_generation(self, m, grad_steps, data):
+        """Memoized generation program (a rebuilt closure would re-trace
+        every optimize() call; the traced program also depends on which data
+        fields exist and on the chunking config)."""
+        key = (m, grad_steps, self.max_batch_size,
+               "ctx" in data, data.get("weights") is not None,
+               tuple(sorted(data.get("fixed", {}))))
+        if key not in self._gen_fns:
+            self._gen_fns[key] = self._build_generation(m, grad_steps)
+        return self._gen_fns[key]
+
     def optimize(self, targets, weights=None, fixed_inputs=None,
-                 meta_steps=30, grad_steps=30, last_grad_steps=300):
+                 meta_steps=30, grad_steps=30, last_grad_steps=300,
+                 checkpoint_path=None, checkpoint_every=1,
+                 progress_every=0):
         """Invert ``targets [M, H, W, 3]`` simultaneously.
 
         ``fixed_inputs``: {name: [M, ...]} per-image model inputs (e.g.
         class embeddings); those listed in ``learnable_inputs`` are also
-        Adam-refined. Returns a dict with per-image best latents, losses and
-        outputs.
+        Adam-refined. ``checkpoint_path`` makes the generation loop
+        crash-safe/resumable (one-behind saves that never stall the
+        dispatch queue — same protocol as the other fused drivers).
+        Returns a dict with per-image best latents, losses, outputs, and
+        ``loss_curves [meta_steps, M]`` (per-generation per-image min tell
+        losses, fetched one generation behind the dispatch queue).
         """
         targets = jnp.asarray(targets)
         m = targets.shape[0]
         fixed_inputs = {k: jnp.asarray(v)
                         for k, v in (fixed_inputs or {}).items()}
         cprint(f"(batched basin-cma) {m} images x pop {self.popsize} = "
-               f"{m * self.popsize} samples/generation", "y")
+               f"{m * self.popsize} samples/generation"
+               + (f", max_batch_size {self.max_batch_size}"
+                  if self.max_batch_size else ""), "y")
 
         _, state0 = cma.init(np.zeros(self.z_dim), self.sigma, self.popsize)
         states = jax.tree.map(
@@ -190,16 +293,48 @@ class BatchedBasinCMAOptimizer:
         data = {"targets": targets, "fixed": fixed_inputs}
         if weights is not None:
             data["weights"] = jnp.asarray(weights)
+        if hasattr(self.loss_fn, "precompute"):
+            # target-side loss context (LPIPS pyramid) ONCE per batch, on
+            # the M unique rows; generations repeat it per-sample in-graph
+            pre = jax.jit(lambda t, w: self.loss_fn.precompute(t, w))
+            data["ctx"] = pre(targets, data.get("weights"))
 
-        gen_fn = self._build_generation(m, grad_steps)
-        for gi in range(meta_steps):
-            states, learn, final_loss = gen_fn(
+        gen_fn = self._get_generation(m, grad_steps, data)
+
+        from pix2latent_tpu.utils.checkpoint import FusedCheckpointer
+        ckpt = FusedCheckpointer(checkpoint_path, "batched basin-cma",
+                                 every=checkpoint_every)
+        start = ckpt.resume({"states": states, "key": self._key})
+        if ckpt.loaded is not None:
+            states, self._key = ckpt.loaded["states"], ckpt.loaded["key"]
+
+        self.losses = []
+        prev_min = None
+        for gi in range(start, meta_steps):
+            carry_in, key_in = states, self._key
+            states, _, _, gen_min = gen_fn(
                 self.model.params, data, states, self._next_key(),
                 jnp.asarray(gi, jnp.int32))
+            if prev_min is not None:
+                # prev generation's mins: already computed -> free fetch,
+                # one generation behind the dispatch queue
+                self.losses.append(np.asarray(prev_min))
+                if progress_every and gi % progress_every == 0:
+                    cprint(f"(batched basin-cma) gen {gi}/{meta_steps} "
+                           f"min tell losses "
+                           f"{np.round(self.losses[-1], 4)}", "c")
+            prev_min = gen_min
+            # carry_in (generation gi's input) is materialized: the
+            # loaded/initial host state at gi == start, or gen gi-1's
+            # output whose min-losses were just fetched
+            ckpt.save(gi, {"states": carry_in, "key": key_in})
+        if prev_min is not None:
+            self.losses.append(np.asarray(prev_min))
+        ckpt.finalize(meta_steps, {"states": states, "key": self._key})
 
         # final long generation: ask once more, refine longer, skip the tell
-        final_fn = self._build_generation(m, last_grad_steps)
-        states_after, learn, final_loss = final_fn(
+        final_fn = self._get_generation(m, last_grad_steps, data)
+        states_after, learn, final_loss, _ = final_fn(
             self.model.params, data, states, self._next_key(),
             jnp.asarray(meta_steps, jnp.int32))
 
@@ -212,6 +347,8 @@ class BatchedBasinCMAOptimizer:
             "loss": jnp.asarray(loss[np.arange(m), best]),  # [M]
             "all_losses": loss,
             "cma_states": states,
+            "loss_curves": (np.stack(self.losses)
+                            if self.losses else np.zeros((0, m))),
         }
         for name in self.learnable_inputs:
             v = np.asarray(learn[name]).reshape(m, self.popsize,

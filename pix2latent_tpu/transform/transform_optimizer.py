@@ -337,19 +337,34 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         if ckpt.loaded is not None:
             carry, key_state = ckpt.loaded["carry"], ckpt.loaded["keys"]
 
+        self.losses = []
+        prev_min = None
         for gi in range(start, meta_steps - 1):
             carry_in, keys_in = carry, key_state
             carry, (variables, loss, inner_loss) = gen_fn(
                 self.model.params, defaults, carry, next_keys(),
                 jnp.asarray(gi, jnp.int32))
-            # one-behind save: carry_in is gen gi-1's output (this loop
-            # keeps no loss fetch, so the np.asarray inside save is what
-            # blocks on gi-1 — still one dispatch ahead, never on gi)
+            # dispatch the per-search min BEFORE fetching the previous one
+            # (a lazily built reduction would be enqueued after the NEXT
+            # generation and its fetch would serialize the dispatch queue —
+            # measured 60ms/gen, BASELINE.md round 3); recording stays one
+            # generation behind, so it never stalls the device
+            cur_min = jnp.min(loss, axis=1)                         # [M]
+            if prev_min is not None:
+                self.losses.append(np.asarray(prev_min))
+            prev_min = cur_min
+            # one-behind save: carry_in is gen gi-1's output (its min-loss
+            # fetch above is what materialized it — still one dispatch
+            # ahead, never blocking on gi)
             ckpt.save(gi, {"carry": carry_in, "keys": keys_in})
         carry_in, keys_in = carry, key_state
         carry, (variables, loss, inner_loss) = final_fn(
             self.model.params, defaults, carry, next_keys(),
             jnp.asarray(meta_steps - 1, jnp.int32))
+        if prev_min is not None:
+            self.losses.append(np.asarray(prev_min))
+        self.losses.append(np.asarray(
+            jnp.min(jnp.where(jnp.isfinite(loss), loss, jnp.inf), axis=1)))
         ckpt.finalize(meta_steps - 1, {"carry": carry_in, "keys": keys_in})
 
         states, vp_means, best_loss, best_t = carry
@@ -367,6 +382,11 @@ class TransformBasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             "variables": variables,
             "cma_states": states,
             "vp_means": vp_means,
+            # per-generation per-search min inverted-frame tell losses,
+            # [meta_steps, M] on a fresh run (fewer rows after a resume —
+            # only the generations THIS process ran are observable)
+            "loss_curves": (np.stack(self.losses)
+                            if self.losses else np.zeros((0, m))),
         }
 
     def optimize_fused(self, meta_steps, grad_steps, last_grad_steps=None,

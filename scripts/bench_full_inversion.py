@@ -36,7 +36,6 @@ from pix2latent_tpu.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-POP = 18
 META_STEPS = 30
 GRAD_STEPS = 30
 LAST_GRAD_STEPS = 300   # examples/invert_biggan_basincma.py:109 budget shape
@@ -74,6 +73,12 @@ def _targets(n):
         a = np.pi * i / max(n, 1)
         u = np.cos(a) * xx + np.sin(a) * yy
         v = -np.sin(a) * xx + np.cos(a) * yy
+        # rescale each rotated ramp to [0, 1] so the *2-1 mapping below
+        # yields a VALID in-range image for every orientation (rotated
+        # u/v otherwise span [-1, 1.37] -> channels outside [-1, 1] and
+        # unrealizable warm targets whose losses aren't comparable)
+        u = (u - u.min()) / (u.max() - u.min())
+        v = (v - v.min()) / (v.max() - v.min())
         outs.append(jnp.asarray(
             np.stack([u, v, 0.5 * (u + v)], axis=-1) * 2.0 - 1.0))
     return outs
@@ -120,22 +125,30 @@ def main():
 
     warm_mean = float(np.mean(warm)) if warm else None
     total_steps = args.meta * args.grad + args.last
+    # the REAL population (setup_cma's default_popsize + any mesh padding),
+    # not a hardcoded constant — read after the cold run created the CMA
+    pop = int(opt.num_samples)
+    finite = bool(np.all(np.isfinite(losses)))
     result = {
         "metric": "BigGAN-256 BasinCMA full-inversion wall-clock "
                   f"({args.meta}x{args.grad}+{args.last} steps, "
-                  "pop 18, end-to-end incl. result fetch)",
+                  f"pop {pop}, end-to-end incl. result fetch)",
         "cold_s": round(cold_s, 2),
         "warm_s": [round(w, 2) for w in warm],
         "warm_s_mean": round(warm_mean, 2) if warm_mean else None,
         "inversions_per_hour_warm":
             round(3600.0 / warm_mean, 2) if warm_mean else None,
         "effective_images_per_sec_warm":
-            round(total_steps * POP / warm_mean, 1) if warm_mean else None,
+            round(total_steps * pop / warm_mean, 1) if warm_mean else None,
         "final_best_losses": [round(l, 5) for l in losses],
         "compute_dtype": args.dtype,
+        "finite": finite,
     }
-    assert all(np.isfinite(losses)), losses
+    # emit the JSON line FIRST — a NaN final loss must not destroy the
+    # (valid) wall-clock measurements; signal the failure via exit code
     print(json.dumps(result))
+    if not finite:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

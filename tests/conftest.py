@@ -24,6 +24,24 @@ assert len(jax.devices()) == 8, (
 
 import pytest  # noqa: E402
 
+# Modules dominated by torch golden transcriptions / end-to-end trajectory
+# parity — minutes each. They form the full pre-commit gate; day-to-day runs
+# use ``-m "not golden"`` (<5 min, see pytest.ini).
+GOLDEN_MODULES = {
+    "test_biggan_golden.py",
+    "test_stylegan2_golden.py",
+    "test_lpips_golden.py",
+    "test_e2e_parity.py",
+    "test_e2e_parity_stylegan2.py",
+    "test_convert_cli.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.basename in GOLDEN_MODULES:
+            item.add_marker(pytest.mark.golden)
+
 
 @pytest.fixture
 def key():

@@ -341,6 +341,71 @@ class TestBatchedBasinCMA:
         assert res["c"].shape == (2, 4)
         assert float(np.asarray(res["loss"]).max()) < 0.1
 
+    def test_microbatched_matches_plain(self, model):
+        """max_batch_size chunking is exact: same seeds land the same
+        optimum (wrap-padded chunks + grad rescale reproduce the whole-
+        batch mean gradient up to float reassociation)."""
+        from pix2latent_tpu.optimizers.batched import BatchedBasinCMAOptimizer
+        z_true = jax.random.normal(jax.random.PRNGKey(21), (2, Z_DIM))
+        targets = model(z=z_true)
+
+        def run(mbs):
+            opt = BatchedBasinCMAOptimizer(
+                model, LF.ReconstructionLoss(), z_dim=Z_DIM, popsize=8,
+                seed=3, max_batch_size=mbs)
+            return opt.optimize(targets, meta_steps=3, grad_steps=5,
+                                last_grad_steps=10)
+
+        plain = run(None)
+        # total = 2*8 = 16 rows -> 6 chunks of 3 with a wrap-padded last
+        chunked = run(3)
+        np.testing.assert_allclose(np.asarray(plain["z"]),
+                                   np.asarray(chunked["z"]),
+                                   rtol=0, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(plain["loss"]),
+                                   np.asarray(chunked["loss"]),
+                                   rtol=0, atol=1e-4)
+
+    def test_loss_curves_recorded(self, model):
+        from pix2latent_tpu.optimizers.batched import BatchedBasinCMAOptimizer
+        z_true = jax.random.normal(jax.random.PRNGKey(22), (2, Z_DIM))
+        targets = model(z=z_true)
+        opt = BatchedBasinCMAOptimizer(
+            model, lambda out, target: LF.l1_loss(out, target),
+            z_dim=Z_DIM, popsize=8, seed=0)
+        res = opt.optimize(targets, meta_steps=4, grad_steps=5,
+                           last_grad_steps=10)
+        curves = res["loss_curves"]
+        assert curves.shape == (4, 2)
+        assert np.all(np.isfinite(curves))
+        # searches make progress: last generation's min beats the first
+        assert np.all(curves[-1] <= curves[0] + 1e-6)
+
+    def test_checkpoint_resume(self, model, tmp_path):
+        """A run killed after 2 generations resumes from the checkpoint and
+        lands exactly where an uninterrupted run does."""
+        from pix2latent_tpu.optimizers.batched import BatchedBasinCMAOptimizer
+        z_true = jax.random.normal(jax.random.PRNGKey(23), (2, Z_DIM))
+        targets = model(z=z_true)
+        path = str(tmp_path / "batched.npz")
+
+        def make():
+            return BatchedBasinCMAOptimizer(
+                model, lambda out, target: LF.l1_loss(out, target),
+                z_dim=Z_DIM, popsize=8, seed=5)
+
+        # "crash" after 2 of 4 generations (finalize records meta_iter=2)
+        make().optimize(targets, meta_steps=2, grad_steps=5,
+                        last_grad_steps=10, checkpoint_path=path)
+        # resume: picks up at generation 2, runs 2 and 3, then the final gen
+        resumed = make().optimize(targets, meta_steps=4, grad_steps=5,
+                                  last_grad_steps=10, checkpoint_path=path)
+        straight = make().optimize(targets, meta_steps=4, grad_steps=5,
+                                   last_grad_steps=10)
+        np.testing.assert_allclose(np.asarray(straight["z"]),
+                                   np.asarray(resumed["z"]),
+                                   rtol=0, atol=1e-6)
+
 
 class TestMultihost:
     """parallel/multihost.py: jax.distributed wrapper + local-row mapping."""

@@ -157,6 +157,28 @@ class TestBatchedTransformSearch:
         np.testing.assert_allclose(res["best_loss"], full["best_loss"],
                                    rtol=1e-5, atol=1e-7)
 
+    def test_loss_curves_recorded(self):
+        """Per-generation per-search min tell losses come back as
+        ``loss_curves [meta_steps, M]`` (one-behind fetch — the batched
+        path is the recommended production path and must be observable,
+        VERDICT.md round 3 weak #5)."""
+        model = _model()
+        m, META = 2, 5
+        targets = _targets(model, m)
+        opt = _build_opt(model, targets[0])
+        res = opt.optimize_fused_batched(
+            {"target": targets}, meta_steps=META, grad_steps=3,
+            seeds=[7, 8])
+        curves = res["loss_curves"]
+        assert curves.shape == (META, m)
+        # the final row is sanitized; tell rows may contain inf for
+        # degenerate warps but never NaN
+        assert not np.any(np.isnan(curves))
+        # the recorded best matches the curves' running minimum (candidate
+        # tracking runs on every generation, including the final one)
+        np.testing.assert_allclose(np.min(curves, axis=0),
+                                   res["best_loss"], rtol=1e-6)
+
     def test_rejects_unregistered_default(self):
         model = _model()
         targets = _targets(model, 2)
