@@ -36,11 +36,32 @@ GOLDEN_MODULES = {
     "test_convert_cli.py",
 }
 
+# Modules dominated by XLA-compile-heavy integration tests (the host has ONE
+# CPU core, so compiles serialize): minutes each. The <5-min dev loop is
+# ``-m "not golden and not slow"``; ``-m "not golden"`` is ~25 min.
+SLOW_MODULES = {
+    "test_graft_entry.py",        # 8.5 min: subprocess dryrun battery
+    "test_lmmaes_parity.py",      # 2 min: f64 trajectory cross-validation
+    "test_quality_gate.py",       # 1.5 min: bf16-vs-f32 convergence
+    "test_stylegan2.py",          # ~3 min: generator compiles + packing
+    "test_mod_backward.py",       # Pallas kernel through the generator
+    "test_optimizers.py",         # ~5 min: every driver inverts a target
+    "test_transform_batched.py",  # ~3 min: batched-vs-solo parity
+    "test_transforms.py",         # ~2 min: fused transform drivers
+    "test_biggan.py",             # generator compiles
+    "test_aux.py",                # editor/GANSpace/checkpoint flows
+    "test_attention.py",          # Pallas kernel parity
+    "test_pallas_fir.py",         # Pallas kernel parity
+    "test_mesh_layouts.py",
+}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         if item.fspath.basename in GOLDEN_MODULES:
             item.add_marker(pytest.mark.golden)
+        if item.fspath.basename in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture
