@@ -101,32 +101,46 @@ def _build(dtype):
 TPU_V5E_PEAK_BF16_FLOPS = 197e12   # per-chip MXU peak (bf16)
 
 
-def flops_per_dispatch(gen_fn, example_args):
-    """Total HLO FLOPs of one compiled dispatch via the XLA cost analysis
-    (the same machinery behind BASELINE.md's 162 GFLOP/image figure).
+def step_flops(opt, defaults):
+    """HLO FLOPs of ONE fused fwd+bwd inner step over the population, via
+    the compiled XLA cost analysis (the machinery behind BASELINE.md's
+    162 GFLOP/image figure). Measured on a standalone single-step program
+    because the cost analysis counts a ``lax.scan`` body ONCE, not times
+    its trip count — analyzing the whole generation underreports ~30x.
     Returns None when the backend can't report it (never fails the bench)."""
     try:
-        ca = gen_fn.lower(*example_args).compile().cost_analysis()
+        import jax as _jax
+        core, vm = opt.core, opt.var_manager
+        variables = vm.initialize(num_samples=opt.num_samples,
+                                  key=_jax.random.PRNGKey(0),
+                                  defaults=defaults)
+        variables = core._dedupe_outputs(variables)
+        ctx = core._make_ctx(variables)
+        f = _jax.jit(lambda p, v, c: core._value_and_grad(p, v, c)[0])
+        ca = f.lower(opt.model.params, variables, ctx).compile()\
+             .cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
+        v = float(ca.get("flops", 0.0))
+        return v if v > 0 else None
     except Exception:
         return None
 
 
-def mfu_fields(flops, dispatch_time_s, images_per_dispatch):
+def mfu_fields(flops_per_step, gen_time_s, grad_steps, pop):
     """achieved TFLOP/s + MFU (vs the bf16 MXU peak) — makes the
     structural-ceiling claims in BASELINE.md mechanically auditable each
-    round (VERDICT.md round 3, weak #6)."""
-    if not flops or not dispatch_time_s:
+    round (VERDICT.md round 3, weak #6). Counts the generation's inner-loop
+    FLOPs only (the CMA ask/tell and tell-eval are excluded), so achieved
+    TFLOP/s is a slight lower bound."""
+    if not flops_per_step or not gen_time_s:
         return {"achieved_tflops": None, "mfu_vs_bf16_peak": None,
                 "gflops_per_image": None}
-    achieved = flops / dispatch_time_s
+    achieved = flops_per_step * grad_steps / gen_time_s
     return {
         "achieved_tflops": round(achieved / 1e12, 2),
         "mfu_vs_bf16_peak": round(achieved / TPU_V5E_PEAK_BF16_FLOPS, 4),
-        "gflops_per_image": round(flops / images_per_dispatch / 1e9, 1),
+        "gflops_per_image": round(flops_per_step / pop / 1e9, 1),
     }
 
 
@@ -205,12 +219,9 @@ def main():
     # one full reference inversion = 30*30+300 = 1200 fused steps
     inversions_per_hour = 3600.0 / (1200.0 / steps_per_sec)
 
-    # achieved TFLOP/s + MFU of the timed program (cost analysis of the
-    # exact compiled generation; cached compile, no extra device work)
-    gen_flops = flops_per_dispatch(
-        gen_fn, (opt.model.params, defaults, state, jax.random.PRNGKey(0),
-                 jnp.asarray(0, jnp.int32)))
-    mfu = mfu_fields(gen_flops, gen_time, POP * GRAD_STEPS)
+    # achieved TFLOP/s + MFU of the timed program (cost analysis of a
+    # standalone single-step program; compile cached, no timed device work)
+    mfu = mfu_fields(step_flops(opt, defaults), gen_time, GRAD_STEPS, POP)
 
     result = {
         "metric": "BigGAN-256 BasinCMA images/sec/chip "

@@ -88,12 +88,10 @@ def main():
         float(gen_min)                       # terminal true sync
         span = time.time() - span_t0
 
-        from bench import flops_per_dispatch, mfu_fields
+        from bench import mfu_fields, step_flops
         gen_time = span / TIMED_GENS
-        gen_flops = flops_per_dispatch(
-            gen_fn, (model.params, defaults, state, opt.next_key(),
-                     jnp.asarray(0, jnp.int32)))
-        mfu = mfu_fields(gen_flops, gen_time, POP * GRAD_STEPS)
+        mfu = mfu_fields(step_flops(opt, defaults), gen_time,
+                         GRAD_STEPS, POP)
 
     import numpy as np
     times = np.asarray(times)

@@ -115,12 +115,18 @@ def main():
             t0 = time.time()
             if method == "Adam":
                 total_steps = args.adam_steps
-                opt = GradientOptimizer(model, vm, loss_fn, log=False)
+                # track_variables=False: tracking stacks every input var per
+                # step, and the ~350k-dim noises var x pop 22 x 500 steps
+                # is ~15GB — OOM (measured; the gradient-free drivers never
+                # track inside their fused programs)
+                opt = GradientOptimizer(model, vm, loss_fn, log=False,
+                                        track_variables=False)
                 opt.optimize(num_samples=POP, grad_steps=args.adam_steps)
             else:
                 total_steps = args.meta * args.grad + args.last
                 opt = HybridNevergradOptimizer(method, model, vm, loss_fn,
-                                               log=False)
+                                               log=False,
+                                               track_variables=False)
                 opt.optimize_fused(num_samples=POP, meta_steps=args.meta,
                                    grad_steps=args.grad,
                                    last_grad_steps=args.last,

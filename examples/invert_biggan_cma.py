@@ -14,7 +14,14 @@ from pix2latent_tpu.optimizers import CMAOptimizer
 
 
 def main():
-    args = base_parser(__doc__).parse_args()
+    p = base_parser(__doc__)
+    p.add_argument("--fused", action="store_true",
+                   help="one XLA dispatch per eval-only generation "
+                        "(4.4x faster per generation, scripts/"
+                        "bench_evalonly.py)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path for crash-safe resume")
+    args = p.parse_args()
     args.grad_free = True
     model = load_biggan(args)
     target, weight = load_target(args, model, 256, style="biggan")
@@ -23,8 +30,10 @@ def main():
     opt = CMAOptimizer(model, vm, make_loss(args), log=args.make_video, max_batch_size=args.max_minibatch)
 
     meta, grad = (5, 10) if args.smoke else (200, 300)
-    variables, outs, losses = opt.optimize(meta_steps=meta, grad_steps=grad,
-                                           active=args.active_cma)
+    drive = opt.optimize_fused if args.fused else opt.optimize
+    variables, outs, losses = drive(meta_steps=meta, grad_steps=grad,
+                                    active=args.active_cma,
+                                    checkpoint_path=args.resume)
     finish(args, opt, variables, outs, losses, "./results/biggan_256/cma")
 
 

@@ -18,6 +18,12 @@ from pix2latent_tpu.optimizers import NevergradOptimizer
 def main():
     p = base_parser(__doc__)
     p.add_argument("--ng_method", type=str, default="CMA")
+    p.add_argument("--fused", action="store_true",
+                   help="one XLA dispatch per eval-only generation "
+                        "(3.8x faster per generation, scripts/"
+                        "bench_evalonly.py)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path for crash-safe resume")
     args = p.parse_args()
     args.grad_free = True
     model = load_biggan(args)
@@ -27,8 +33,10 @@ def main():
     opt = NevergradOptimizer(args.ng_method, model, vm, make_loss(args), log=args.make_video, max_batch_size=args.max_minibatch)
 
     meta, grad = (5, 10) if args.smoke else (1000, 300)
-    variables, outs, losses = opt.optimize(
-        num_samples=args.num_samples, meta_steps=meta, grad_steps=grad)
+    drive = opt.optimize_fused if args.fused else opt.optimize
+    variables, outs, losses = drive(
+        num_samples=args.num_samples, meta_steps=meta, grad_steps=grad,
+        checkpoint_path=args.resume)
     finish(args, opt, variables, outs, losses,
            f"./results/biggan_256/ng_{args.ng_method}")
 

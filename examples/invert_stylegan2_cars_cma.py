@@ -15,7 +15,14 @@ from pix2latent_tpu.optimizers import CMAOptimizer
 
 
 def main():
-    args = base_parser(__doc__, model="stylegan2").parse_args()
+    p = base_parser(__doc__, model="stylegan2")
+    p.add_argument("--fused", action="store_true",
+                   help="one XLA dispatch per eval-only generation "
+                        "(4.4x faster per generation, scripts/"
+                        "bench_evalonly.py)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint path for crash-safe resume")
+    args = p.parse_args()
     args.grad_free = True
     model = load_stylegan2(args)
     im = model.im_res
@@ -27,8 +34,10 @@ def main():
     opt.log_resize_factor = 0.5
 
     meta, grad = (3, 8) if args.smoke else (200, 300)
-    variables, outs, losses = opt.optimize(meta_steps=meta, grad_steps=grad,
-                                           active=args.active_cma)
+    drive = opt.optimize_fused if args.fused else opt.optimize
+    variables, outs, losses = drive(meta_steps=meta, grad_steps=grad,
+                                    active=args.active_cma,
+                                    checkpoint_path=args.resume)
     finish(args, opt, variables, outs, losses,
            f"./results/stylegan2_{args.model}/cma")
 

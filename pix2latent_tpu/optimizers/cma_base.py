@@ -99,3 +99,78 @@ class _BaseCMAOptimizer:
         self.cma_state = cma.tell(self.cma_params, self.cma_state,
                                   self._sampled, jnp.asarray(loss))
         return loss
+
+    # -- fused one-dispatch generation (shared by BasinCMA and CMA) -------- #
+
+    def _build_fused_generation(self, grad_steps):
+        """One XLA program per generation: fresh init + CMA ask + scanned
+        inner Adam steps (``grad_steps=0`` = pure eval-only generation) +
+        inverted-frame tell + CMA update. A host meta loop dispatches it
+        once per generation (a ``lax.scan`` over generations measured ~4x
+        slower — the eigh in the CMA tell lowers badly inside a scan body
+        on TPU).
+
+        All per-problem data (model params, variable defaults — i.e. the
+        target image) travels as ARGUMENTS, so the compiled program is
+        image-independent and caches across inversions. The loss's target-
+        side context (LPIPS target feature pyramid) is precomputed once,
+        outside the inner scan.
+        """
+        import optax
+
+        vm = self.var_manager
+        core = self.core
+        var_type, name, shape = self._gf_var
+        n = self.num_samples
+
+        def generation(params, defaults, state, key, gen_idx):
+            k_init, k_ask, k_scan, k_tell = jax.random.split(key, 4)
+            variables = vm.initialize(num_samples=n, key=k_init,
+                                      defaults=defaults)
+            x = cma.ask(self.cma_params, state, k_ask)
+            variables[var_type][name] = x.reshape(n, *shape)
+            # pin the data-parallel layout before GSPMD propagates the
+            # replicated CMA-state sharding onto the population (no-op
+            # without a mesh)
+            variables = core.place_in_graph(variables)
+            variables = core.apply_transforms(variables)
+            variables = core._dedupe_outputs(variables)
+            ctx = core._make_ctx(variables)
+            opt_state = core.init_opt_state(variables)
+
+            def inner(c, xs2):
+                variables, opt_state = c
+                i, k = xs2
+                variables = vm.apply_hooks(k, variables, i)
+                per_sample, _, grads = core._value_and_grad(
+                    params, variables, ctx)
+                updates, opt_state = core.optimizer.update(
+                    grads, opt_state, variables)
+                variables = optax.apply_updates(variables, updates)
+                return (variables, opt_state), per_sample
+
+            steps = gen_idx * grad_steps + jnp.arange(grad_steps)
+            keys = jax.random.split(k_scan, grad_steps)
+            (variables, opt_state), inner_losses = jax.lax.scan(
+                inner, (variables, opt_state), (steps, keys))
+
+            tell_fn_inner = core._build("tell_loss_raw", inverted=True)
+            loss = tell_fn_inner(params, variables, k_tell,
+                                 gen_idx * grad_steps + grad_steps,
+                                 defaults=defaults, ctx=ctx)
+            state = cma.tell(self.cma_params, state, x, loss)
+            return state, jnp.min(loss)
+
+        return jax.jit(generation)
+
+    def _get_fused_gen(self, grad_steps):
+        """Memoized fused generation: the traced program embeds cma_params
+        (weights) and the grad-free variable binding, so the cache key must
+        cover everything that determines them, not just grad_steps."""
+        if not hasattr(self, "_fused_gens"):
+            self._fused_gens = {}
+        key = (grad_steps, self.cma_params.popsize, self.cma_params.active,
+               self._gf_var)
+        if key not in self._fused_gens:
+            self._fused_gens[key] = self._build_fused_generation(grad_steps)
+        return self._fused_gens[key]

@@ -133,3 +133,80 @@ class _BaseNGOptimizer:
             sanitize_fitness(jnp.asarray(loss)),
             aux=getattr(self, "_ask_aux", None))
         return loss
+
+    # -- fused one-dispatch generation (shared by Hybrid and eval-only NG) - #
+
+    def _build_fused_generation(self, grad_steps):
+        """One XLA program per generation (ask + inner Adam scan
+        [``grad_steps=0`` = pure eval-only] + inverted-frame tell +
+        strategy update) — the treatment
+        ``BasinCMAOptimizer._build_fused_generation`` gives the flagship,
+        generalized over the on-device strategy registry (every strategy's
+        ask/tell is a pure function of its state pytree). Per-problem data
+        travels as arguments, so compiled programs cache across inversions."""
+        import optax
+
+        from pix2latent_tpu.strategies.cma import sanitize_fitness
+
+        vm = self.var_manager
+        core = self.core
+        var_type, name, shape = self._gf_var
+        n = self.num_samples
+        strat = self.ng_strategy
+
+        def generation(params, defaults, state, key, gen_idx):
+            k_init, k_ask, k_scan, k_tell = jax.random.split(key, 4)
+            variables = vm.initialize(num_samples=n, key=k_init,
+                                      defaults=defaults)
+            x, aux = strat.ask_with_aux(state, k_ask)
+            variables[var_type][name] = x.reshape(n, *shape)
+            variables = core.place_in_graph(variables)  # no-op without mesh
+            variables = core.apply_transforms(variables)
+            variables = core._dedupe_outputs(variables)
+            ctx = core._make_ctx(variables)
+            opt_state = core.init_opt_state(variables)
+
+            def inner(c, xs2):
+                variables, opt_state = c
+                i, k = xs2
+                variables = vm.apply_hooks(k, variables, i)
+                per_sample, _, grads = core._value_and_grad(
+                    params, variables, ctx)
+                updates, opt_state = core.optimizer.update(
+                    grads, opt_state, variables)
+                variables = optax.apply_updates(variables, updates)
+                return (variables, opt_state), per_sample
+
+            steps = gen_idx * grad_steps + jnp.arange(grad_steps)
+            keys = jax.random.split(k_scan, grad_steps)
+            (variables, opt_state), _ = jax.lax.scan(
+                inner, (variables, opt_state), (steps, keys))
+
+            tell_fn = core._build("tell_loss_raw", inverted=True)
+            loss = tell_fn(params, variables, k_tell,
+                           gen_idx * grad_steps + grad_steps,
+                           defaults=defaults, ctx=ctx)
+            state = strat.tell(state, x, sanitize_fitness(loss), aux=aux)
+            return state, jnp.min(loss)
+
+        return jax.jit(generation)
+
+    def _get_fused_gen(self, grad_steps):
+        """Memoized fused generation. The traced program closes over the
+        strategy object AND the grad-free variable binding, so the key must
+        cover both — ``cache_token()`` includes budget-derived
+        hyperparameters (NGOpt's routed leaf, MetaRecentering's scale),
+        ``_gf_var`` the variable the program writes asks into. ``Host:``
+        strategies are per-instance mutable objects: a memo entry could
+        never be hit again (fresh instance per setup_ng), so storing one
+        would only retain dead host optimizers + compiled programs — build
+        without caching."""
+        from pix2latent_tpu.strategies.host import HostStrategy
+        if isinstance(self.ng_strategy, HostStrategy):
+            return self._build_fused_generation(grad_steps)
+        if not hasattr(self, "_fused_gens"):
+            self._fused_gens = {}
+        key = (grad_steps, self.ng_strategy.cache_token(), self._gf_var)
+        if key not in self._fused_gens:
+            self._fused_gens[key] = self._build_fused_generation(grad_steps)
+        return self._fused_gens[key]

@@ -61,6 +61,78 @@ class NevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
 
         return self._final_results(variables, total_steps)
 
+    def optimize_fused(self, num_samples, meta_steps, grad_steps=0,
+                       progress_every=100, checkpoint_path=None,
+                       checkpoint_every=1):
+        """Eval-only strategy generations with ONE XLA dispatch per
+        generation, then ``grad_steps`` Adam finetune on a final ask.
+        Promoted after an on-chip measurement: the host loop's ~10
+        eval-scale dispatches per generation are tunnel-latency bound —
+        73.7 vs 19.6 ms/generation = **3.8x** (``scripts/bench_evalonly
+        .py``; 54s over the reference's 1000-generation budget,
+        ``/root/reference/examples/invert_biggan_nevergrad.py:111``).
+
+        Semantics note (same as ``CMAOptimizer.optimize_fused``): the host
+        loop evaluates twice per generation (logging eval + fresh tell
+        eval, the reference's ``base_ng_optimizer.py`` behavior); the fused
+        generation evaluates once and tells with that loss. Per-generation
+        min tell losses land in ``self.losses`` (one-behind fetch);
+        ``checkpoint_path`` adds crash-safe resume (on-device strategies
+        only — ``Host:`` state cannot serialize)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pix2latent_tpu.utils.checkpoint import FusedCheckpointer
+        from pix2latent_tpu.utils.misc import cprint
+
+        self.setup_ng(self.var_manager, num_samples,
+                      budget=meta_steps * num_samples)
+        self.reject_host_checkpoint(checkpoint_path)
+        self.losses, self.outs = [], []
+        gen_fn = self._get_fused_gen(0)
+        defaults = self.var_manager.defaults()
+        state = self.ng_state
+
+        ckpt = FusedCheckpointer(checkpoint_path,
+                                 f"fused eval-only {self.method}",
+                                 every=checkpoint_every)
+        start = ckpt.resume({"state": state, "key": self._key})
+        if ckpt.loaded is not None:
+            state, self._key = ckpt.loaded["state"], ckpt.loaded["key"]
+
+        prev_min = None
+        for gi in range(start, meta_steps):
+            carry_in, key_in = state, self._key
+            state, gen_min = gen_fn(self.model.params, defaults, state,
+                                    self.next_key(),
+                                    jnp.asarray(gi, jnp.int32))
+            if prev_min is not None:
+                self.losses.append(float(prev_min))
+                if progress_every and gi % progress_every == 0:
+                    cprint(f"({self.method} fused) gen {gi}/{meta_steps} "
+                           f"min tell loss {self.losses[-1]:.4f}", "c")
+            prev_min = gen_min
+            ckpt.save(gi, {"state": carry_in, "key": key_in})
+        if prev_min is not None:
+            self.losses.append(float(prev_min))
+        self.ng_state = state
+        ckpt.finalize(meta_steps, {"state": state, "key": self._key})
+
+        # -- Adam finetune of a final ask (reference ng_optimizer.py:63-81)
+        variables = self.ng_init(self.var_manager)
+        variables = self.core.apply_transforms(variables)
+        if grad_steps > 0:
+            opt_state = self.core.init_opt_state(variables)
+            variables, opt_state, out, ys = self.core.grad_steps(
+                variables, opt_state, self.next_key(), grad_steps,
+                start_step=meta_steps, track=False)
+            self.out, self.loss = out, np.asarray(ys["loss"][-1])
+        else:
+            out, loss = self.core.eval(variables, self.next_key(),
+                                       meta_steps)
+            self.out, self.loss = out, np.asarray(loss)
+        return self._final_results(variables, meta_steps + grad_steps)
+
 
 class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
     """BasinCMA-style loop with a pluggable gradient-free outer strategy."""
@@ -69,61 +141,8 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
         _BaseOptimizer.__init__(self, *args, **kwargs)
         _BaseNGOptimizer.__init__(self, method=method)
 
-    def _build_fused_generation(self, grad_steps):
-        """One XLA program per generation (ask + inner Adam scan +
-        inverted-frame tell + strategy update) — the treatment
-        ``BasinCMAOptimizer._build_fused_generation`` gives the flagship,
-        generalized over the on-device strategy registry (every strategy's
-        ask/tell is a pure function of its state pytree). Per-problem data
-        travels as arguments, so compiled programs cache across inversions."""
-        import jax
-        import jax.numpy as jnp
-        import optax
-
-        from pix2latent_tpu.strategies.cma import sanitize_fitness
-
-        vm = self.var_manager
-        core = self.core
-        var_type, name, shape = self._gf_var
-        n = self.num_samples
-        strat = self.ng_strategy
-
-        def generation(params, defaults, state, key, gen_idx):
-            k_init, k_ask, k_scan, k_tell = jax.random.split(key, 4)
-            variables = vm.initialize(num_samples=n, key=k_init,
-                                      defaults=defaults)
-            x, aux = strat.ask_with_aux(state, k_ask)
-            variables[var_type][name] = x.reshape(n, *shape)
-            variables = core.place_in_graph(variables)  # no-op without mesh
-            variables = core.apply_transforms(variables)
-            variables = core._dedupe_outputs(variables)
-            ctx = core._make_ctx(variables)
-            opt_state = core.init_opt_state(variables)
-
-            def inner(c, xs2):
-                variables, opt_state = c
-                i, k = xs2
-                variables = vm.apply_hooks(k, variables, i)
-                per_sample, _, grads = core._value_and_grad(
-                    params, variables, ctx)
-                updates, opt_state = core.optimizer.update(
-                    grads, opt_state, variables)
-                variables = optax.apply_updates(variables, updates)
-                return (variables, opt_state), per_sample
-
-            steps = gen_idx * grad_steps + jnp.arange(grad_steps)
-            keys = jax.random.split(k_scan, grad_steps)
-            (variables, opt_state), _ = jax.lax.scan(
-                inner, (variables, opt_state), (steps, keys))
-
-            tell_fn = core._build("tell_loss_raw", inverted=True)
-            loss = tell_fn(params, variables, k_tell,
-                           gen_idx * grad_steps + grad_steps,
-                           defaults=defaults, ctx=ctx)
-            state = strat.tell(state, x, sanitize_fitness(loss), aux=aux)
-            return state, jnp.min(loss)
-
-        return jax.jit(generation)
+    # the fused one-dispatch generation builder lives on _BaseNGOptimizer
+    # (ng_base.py) — shared with NevergradOptimizer's eval-only fused driver
 
     def optimize_fused(self, num_samples, meta_steps, grad_steps,
                        last_grad_steps=300, progress_every=5,
@@ -143,27 +162,7 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
         self.reject_host_checkpoint(checkpoint_path)
         self.losses, self.outs = [], []
         total_steps = meta_steps * grad_steps + last_grad_steps
-        # memoize the built generation (same rule as basincma.py's
-        # _fused_gens): the traced program closes over the strategy object
-        # AND the grad-free variable binding, so the key must cover both —
-        # cache_token() includes budget-derived hyperparameters (NGOpt's
-        # routed leaf, MetaRecentering's scale), _gf_var the variable the
-        # program writes asks into. Host: strategies are per-instance
-        # mutable objects: a memo entry could never be hit again (fresh
-        # instance per setup_ng), so storing one would only retain dead
-        # host optimizers + compiled programs — build without caching.
-        from pix2latent_tpu.strategies.host import HostStrategy
-        if isinstance(self.ng_strategy, HostStrategy):
-            gen_fn = self._build_fused_generation(grad_steps)
-        else:
-            cache_key = (grad_steps, self.ng_strategy.cache_token(),
-                         self._gf_var)
-            if not hasattr(self, "_fused_gens"):
-                self._fused_gens = {}
-            if cache_key not in self._fused_gens:
-                self._fused_gens[cache_key] = \
-                    self._build_fused_generation(grad_steps)
-            gen_fn = self._fused_gens[cache_key]
+        gen_fn = self._get_fused_gen(grad_steps)
         defaults = self.var_manager.defaults()
 
         state = self.ng_state

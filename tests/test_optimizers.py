@@ -117,6 +117,43 @@ class TestCMAOptimizer:
         with pytest.raises(AssertionError):
             opt.optimize(meta_steps=1, num_samples=9)
 
+    def test_fused_eval_only_converges_like_host_loop(self, model,
+                                                      target_and_z):
+        """The one-dispatch eval-only generation (promoted after the 4.4x
+        on-chip measurement, scripts/bench_evalonly.py) optimizes the same
+        objective to comparable quality; per-generation losses are
+        recorded one-behind."""
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = CMAOptimizer(model, vm, loss_fn, seed=3)
+        variables, outs, losses = opt.optimize_fused(meta_steps=30,
+                                                     grad_steps=0,
+                                                     progress_every=0)
+        assert len(opt.losses) == 30
+        assert min(opt.losses) < 0.25
+        # finetune path: grad_steps Adam on a final ask
+        vm2 = make_vm(target, grad_free=True)
+        opt2 = CMAOptimizer(model, vm2, loss_fn, seed=3)
+        opt2.optimize_fused(meta_steps=10, grad_steps=30, progress_every=0)
+        assert float(np.min(np.asarray(opt2.loss))) < 0.25
+
+    def test_fused_eval_only_checkpoint_resume(self, model, target_and_z,
+                                               tmp_path):
+        target, _ = target_and_z
+        path = str(tmp_path / "cma_fused.npz")
+
+        def run(meta, ckpt):
+            vm = make_vm(target, grad_free=True)
+            opt = CMAOptimizer(model, vm, loss_fn, seed=7)
+            opt.optimize_fused(meta_steps=meta, grad_steps=5,
+                               progress_every=0, checkpoint_path=ckpt)
+            return np.asarray(opt.loss)
+
+        run(3, path)                    # "crash" after 3 of 6 generations
+        resumed = run(6, path)          # resumes at 3
+        straight = run(6, None)
+        np.testing.assert_allclose(straight, resumed, rtol=0, atol=1e-6)
+
 
 class TestBasinCMA:
     def test_flagship_beats_pure_cma_at_matched_meta_budget(
@@ -182,6 +219,32 @@ class TestNGOptimizers:
         vm = make_vm(target, grad_free=True)
         with pytest.raises(AssertionError):
             NevergradOptimizer("NoSuchMethod", model, vm, loss_fn)
+
+    def test_fused_eval_only_ng(self, model, target_and_z, tmp_path):
+        """NevergradOptimizer.optimize_fused: one-dispatch eval-only
+        generations (3.8x on-chip, scripts/bench_evalonly.py) converge,
+        record one-behind losses, and checkpoint-resume exactly."""
+        target, _ = target_and_z
+        vm = make_vm(target, grad_free=True)
+        opt = NevergradOptimizer("CMA", model, vm, loss_fn, seed=5)
+        opt.optimize_fused(num_samples=12, meta_steps=15, grad_steps=0,
+                           progress_every=0)
+        assert len(opt.losses) == 15
+        assert min(opt.losses) < 0.4
+
+        path = str(tmp_path / "ng_fused.npz")
+
+        def run(meta, ckpt):
+            vm2 = make_vm(target, grad_free=True)
+            o = NevergradOptimizer("CMA", model, vm2, loss_fn, seed=9)
+            o.optimize_fused(num_samples=8, meta_steps=meta, grad_steps=5,
+                             progress_every=0, checkpoint_path=ckpt)
+            return np.asarray(o.loss)
+
+        run(3, path)
+        resumed = run(6, path)
+        straight = run(6, None)
+        np.testing.assert_allclose(straight, resumed, rtol=0, atol=1e-6)
 
 
 class TestShardedPopulation:
