@@ -116,7 +116,12 @@ def step_flops(opt, defaults):
                                   defaults=defaults)
         variables = core._dedupe_outputs(variables)
         ctx = core._make_ctx(variables)
-        f = _jax.jit(lambda p, v, c: core._value_and_grad(p, v, c)[0])
+        # return the FULL (per_sample, out, grads) tuple: selecting only the
+        # losses lets XLA dead-code-eliminate the whole backward pass and
+        # the analysis reports forward-only FLOPs (measured 59.6 forward-only
+        # vs 122.8 GFLOP/image for the full fwd+bwd program; BASELINE.md's
+        # older 162 figure came from a hand-derived f32 estimate)
+        f = _jax.jit(lambda p, v, c: core._value_and_grad(p, v, c))
         ca = f.lower(opt.model.params, variables, ctx).compile()\
              .cost_analysis()
         if isinstance(ca, (list, tuple)):
