@@ -81,6 +81,8 @@ class BatchedBasinCMAOptimizer:
         # per-generation per-image min tell losses, filled by optimize()
         self.losses = []
         self._gen_fns = {}
+        # frozen-transform inverted-tell fn (set by optimize(tell_inverted=))
+        self._tell_fn = None
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -100,23 +102,12 @@ class BatchedBasinCMAOptimizer:
             lambda a: (jnp.repeat(a, pop, axis=0)
                        if jnp.ndim(a) > 0 and a.shape[0] == m else a), tree)
 
-    def _build_generation(self, m, grad_steps):
-        """One XLA program: M asks -> inner Adam scan over the concatenated
-        [M*pop] batch -> post-loop re-eval -> per-image tells.
-
-        Per-image data (targets/weights/fixed inputs and the precomputed
-        loss context) arrives via the ``data`` ARGUMENT, so the compiled
-        program is image-independent and caches across image batches (same
-        rule as the single-image fused generation). When ``max_batch_size``
-        is set, every forward/backward (and the post-loop re-eval) runs as
-        a sequential ``lax.map`` over exact wrap-padded chunks — gradients
-        rescaled by chunk/total so the result equals the whole-batch mean's
-        gradient exactly (see ``core/step.py:_value_and_grad``).
-        """
+    def _loss_fns(self, m):
+        """``(forward_loss, value_and_grad_chunked, eval_chunked)`` for an
+        M-image problem — shared by the fused generation and the segmented
+        final refinement (:meth:`_build_final_segmented`)."""
         pop = self.popsize
         total = m * pop
-        params_cma = self.cma_params
-        adam = self._make_adam()
 
         def forward_loss(params, learn, aux):
             out = self.model.apply(params, **learn, **aux["fixed"])
@@ -130,6 +121,26 @@ class BatchedBasinCMAOptimizer:
             rows = out.shape[0]
             per_sample = loss_map.reshape(rows, -1).mean(axis=1)
             return per_sample.mean(), per_sample
+
+        def eval_loss(params, learn, aux):
+            """Per-sample loss for tells/winner selection. With a frozen
+            per-image transform (``tell_inverted``), the generated image is
+            un-warped back to the ORIGINAL frame and scored against the
+            un-warped target with the binarized original weight — the
+            reference's ``inverted_loss`` tell semantics
+            (``pix2latent/optimizer/base_cma_optimizer.py:113-139``), same
+            as the single-image fused path (``core/step.py`` tell_loss).
+            The inner Adam objective stays the warped-frame loss above."""
+            if "tell_t" not in aux:
+                return forward_loss(params, learn, aux)[1]
+            out = self.model.apply(params, **learn, **aux["fixed"])
+            out_inv = self._tell_fn(out, aux["tell_t"], invert=True)
+            kwargs = {"target": aux["tell_target"]}
+            if "tell_weight" in aux:
+                kwargs["weight"] = aux["tell_weight"]
+            loss_map = self.loss_fn(out_inv, **kwargs)
+            rows = out.shape[0]
+            return loss_map.reshape(rows, -1).mean(axis=1)
 
         def value_and_grad_chunked(params, learn, aux):
             """per-sample losses [total] + grads like ``learn``; chunked
@@ -172,35 +183,75 @@ class BatchedBasinCMAOptimizer:
         def eval_chunked(params, learn, aux):
             n, chunk, pad = chunk_spec(total, self.max_batch_size)
             if n == 1:
-                return forward_loss(params, learn, aux)[1]
+                return eval_loss(params, learn, aux)
             vc = split_chunked(learn, aux, total, n, chunk, pad)
             _, _, mapped_v, _, _, mapped_c, rebuild = vc
 
             def one(operand):
                 vml, cml = operand
                 learn_c, aux_c = rebuild(vml, cml)
-                return forward_loss(params, learn_c, aux_c)[1]
+                return eval_loss(params, learn_c, aux_c)
 
             ps = jax.lax.map(one, (mapped_v, mapped_c))
             return ps.reshape(n * chunk)[:total]
 
+        return forward_loss, value_and_grad_chunked, eval_chunked
+
+    def _make_aux(self, data, m):
+        """In-graph per-sample loss context from the per-image ``data``
+        argument (shared by every compiled program of this problem)."""
+        pop = self.popsize
+        fixed_inputs = data.get("fixed", {})
+        aux = {"fixed": {
+            name: jax.lax.stop_gradient(jnp.repeat(v, pop, axis=0))
+            for name, v in fixed_inputs.items()
+            if name not in self.learnable_inputs}}
+        if "ctx" in data:
+            # per-image context (LPIPS target pyramid, precomputed ONCE
+            # per batch on the M unique targets) repeated to per-sample
+            # rows — compute-free vs re-running the backbone on M*pop
+            aux["ctx"] = self._repeat_per_image(data["ctx"], pop, m)
+        else:
+            aux["target"] = jnp.repeat(data["targets"], pop, axis=0)
+            if data.get("weights") is not None:
+                aux["weight"] = jnp.repeat(data["weights"], pop, axis=0)
+        if "tell_t" in data:
+            # frozen per-image transform params + ORIGINAL-frame targets
+            # for the inverted tell (image i owns rows [i*pop, (i+1)*pop))
+            aux["tell_t"] = jnp.repeat(data["tell_t"], pop, axis=0)
+            aux["tell_target"] = jnp.repeat(data["tell_target"], pop, axis=0)
+            if data.get("tell_weight") is not None:
+                aux["tell_weight"] = jnp.repeat(data["tell_weight"], pop,
+                                                axis=0)
+        aux = jax.lax.stop_gradient(aux)
+        if self.mesh is not None:
+            from pix2latent_tpu.parallel.mesh import constrain_variables
+            aux = constrain_variables(aux, self.mesh)
+        return aux
+
+    def _build_generation(self, m, grad_steps):
+        """One XLA program: M asks -> inner Adam scan over the concatenated
+        [M*pop] batch -> post-loop re-eval -> per-image tells.
+
+        Per-image data (targets/weights/fixed inputs and the precomputed
+        loss context) arrives via the ``data`` ARGUMENT, so the compiled
+        program is image-independent and caches across image batches (same
+        rule as the single-image fused generation). When ``max_batch_size``
+        is set, every forward/backward (and the post-loop re-eval) runs as
+        a sequential ``lax.map`` over exact wrap-padded chunks — gradients
+        rescaled by chunk/total so the result equals the whole-batch mean's
+        gradient exactly (see ``core/step.py:_value_and_grad``).
+        """
+        pop = self.popsize
+        total = m * pop
+        params_cma = self.cma_params
+        adam = self._make_adam()
+        forward_loss, value_and_grad_chunked, eval_chunked = \
+            self._loss_fns(m)
+
         def generation(params, data, states, key, gen_idx):
             fixed_inputs = data.get("fixed", {})
-
-            aux = {"fixed": {
-                name: jax.lax.stop_gradient(jnp.repeat(v, pop, axis=0))
-                for name, v in fixed_inputs.items()
-                if name not in self.learnable_inputs}}
-            if "ctx" in data:
-                # per-image context (LPIPS target pyramid, precomputed ONCE
-                # per batch on the M unique targets) repeated to per-sample
-                # rows — compute-free vs re-running the backbone on M*pop
-                aux["ctx"] = self._repeat_per_image(data["ctx"], pop, m)
-            else:
-                aux["target"] = jnp.repeat(data["targets"], pop, axis=0)
-                if data.get("weights") is not None:
-                    aux["weight"] = jnp.repeat(data["weights"], pop, axis=0)
-            aux = jax.lax.stop_gradient(aux)
+            aux = self._make_aux(data, m)
 
             k_ask, k_scan = jax.random.split(key)
             ask_keys = jax.random.split(k_ask, m)
@@ -215,7 +266,6 @@ class BatchedBasinCMAOptimizer:
             if self.mesh is not None:
                 from pix2latent_tpu.parallel.mesh import constrain_variables
                 learn = constrain_variables(learn, self.mesh)
-                aux = constrain_variables(aux, self.mesh)
 
             opt_state = adam.init(learn)
 
@@ -257,15 +307,116 @@ class BatchedBasinCMAOptimizer:
         fields exist and on the chunking config)."""
         key = (m, grad_steps, self.max_batch_size,
                "ctx" in data, data.get("weights") is not None,
+               "tell_t" in data, data.get("tell_weight") is not None,
                tuple(sorted(data.get("fixed", {}))))
         if key not in self._gen_fns:
             self._gen_fns[key] = self._build_generation(m, grad_steps)
         return self._gen_fns[key]
 
+    def _build_final_fns(self, m):
+        """``(ask_init, segment, final_eval)`` jitted triple for the
+        SEGMENTED final refinement.
+
+        A single XLA program carrying the full ``last_grad_steps`` Adam scan
+        over the concatenated batch reproducibly crashes the axon TPU worker
+        ("kernel fault") once the scan is long — measured at 300 steps for
+        M=7 plain AND M=12 chunked, the exact programs whose 30-step
+        generation variants run fine; the same fault class as the 500-step
+        w+ Adam scan (CLAUDE.md). The cure is the same: run the refinement
+        as bounded per-dispatch segments whose Adam/learn carry stays on
+        device. Per-step keys and step indices are precomputed with the
+        SAME splits the one-scan program uses, so the segmented trajectory
+        equals the single-scan trajectory step for step
+        (``tests/test_optimizers.py::test_segmented_final_matches_one_scan``).
+        """
+        pop = self.popsize
+        total = m * pop
+        params_cma = self.cma_params
+        adam = self._make_adam()
+        _, value_and_grad_chunked, eval_chunked = self._loss_fns(m)
+
+        def ask_init(params, data, states, k_ask):
+            ask_keys = jax.random.split(k_ask, m)
+            x = jax.vmap(lambda s, k: cma.ask(params_cma, s, k))(
+                states, ask_keys)                        # [M, pop, d]
+            learn = {"z": x.reshape(total, self.z_dim)}
+            for name, default in data.get("fixed", {}).items():
+                if name in self.learnable_inputs:
+                    learn[name] = jnp.repeat(default, pop, axis=0)
+            if self.mesh is not None:
+                from pix2latent_tpu.parallel.mesh import constrain_variables
+                learn = constrain_variables(learn, self.mesh)
+            return learn, adam.init(learn)
+
+        def segment(params, data, learn, opt_state, steps, keys):
+            aux = self._make_aux(data, m)
+
+            def body(carry, xs):
+                learn, opt_state = carry
+                i, k = xs
+                if self.hook_fn is not None:
+                    learn = {**learn, "z": self.hook_fn(k, learn["z"], i)}
+                _, grads = value_and_grad_chunked(params, learn, aux)
+                updates, opt_state = adam.update(grads, opt_state, learn)
+                learn = optax.apply_updates(learn, updates)
+                return (learn, opt_state), None
+
+            (learn, opt_state), _ = jax.lax.scan(
+                body, (learn, opt_state), (steps, keys))
+            return learn, opt_state
+
+        def final_eval(params, data, learn):
+            aux = self._make_aux(data, m)
+            return eval_chunked(params, learn, aux).reshape(m, pop)
+
+        return jax.jit(ask_init), jax.jit(segment), jax.jit(final_eval)
+
+    def _get_final_fns(self, m, data):
+        key = ("final", m, self.max_batch_size,
+               "ctx" in data, data.get("weights") is not None,
+               "tell_t" in data, data.get("tell_weight") is not None,
+               tuple(sorted(data.get("fixed", {}))))
+        if key not in self._gen_fns:
+            self._gen_fns[key] = self._build_final_fns(m)
+        return self._gen_fns[key]
+
+    def _run_final(self, m, data, states, meta_steps, last_grad_steps,
+                   final_segment_steps):
+        """Final long refinement: one more ask, ``last_grad_steps`` Adam
+        steps, post-update re-eval; no tell. Segmented into bounded
+        dispatches unless ``final_segment_steps`` is None/0 or already
+        covers the budget (see :meth:`_build_final_fns`). Returns
+        ``(learn, final_loss [M, pop])``; consumes exactly one key either
+        way so the RNG stream is path-independent."""
+        key = self._next_key()
+        seg = final_segment_steps or last_grad_steps
+        if seg >= last_grad_steps:
+            final_fn = self._get_generation(m, last_grad_steps, data)
+            _, learn, final_loss, _ = final_fn(
+                self.model.params, data, states, key,
+                jnp.asarray(meta_steps, jnp.int32))
+            return learn, final_loss
+        ask_fn, seg_fn, eval_fn = self._get_final_fns(m, data)
+        # the one-scan program's exact splits: key -> (ask, scan), then the
+        # scan key fans out to one key per step; step indices continue the
+        # meta loop's numbering so hooks see the same iteration counter
+        k_ask, k_scan = jax.random.split(key)
+        keys = jax.random.split(k_scan, last_grad_steps)
+        steps = jnp.asarray(
+            meta_steps * last_grad_steps + np.arange(last_grad_steps),
+            jnp.int32)
+        learn, opt_state = ask_fn(self.model.params, data, states, k_ask)
+        for s0 in range(0, last_grad_steps, seg):
+            s1 = min(s0 + seg, last_grad_steps)
+            learn, opt_state = seg_fn(self.model.params, data, learn,
+                                      opt_state, steps[s0:s1], keys[s0:s1])
+        return learn, eval_fn(self.model.params, data, learn)
+
     def optimize(self, targets, weights=None, fixed_inputs=None,
                  meta_steps=30, grad_steps=30, last_grad_steps=300,
+                 final_segment_steps=50,
                  checkpoint_path=None, checkpoint_every=1,
-                 progress_every=0):
+                 progress_every=0, tell_inverted=None):
         """Invert ``targets [M, H, W, 3]`` simultaneously.
 
         ``fixed_inputs``: {name: [M, ...]} per-image model inputs (e.g.
@@ -273,6 +424,18 @@ class BatchedBasinCMAOptimizer:
         Adam-refined. ``checkpoint_path`` makes the generation loop
         crash-safe/resumable (one-behind saves that never stall the
         dispatch queue — same protocol as the other fused drivers).
+        ``final_segment_steps`` bounds the final refinement's per-dispatch
+        scan length (long single scans fault the axon TPU worker —
+        :meth:`_build_final_fns`; pass None to force one program).
+        ``tell_inverted``: frozen-transform phase-2 semantics (the two-phase
+        workflow with ``targets`` = the pre-warped per-image targets): a
+        dict ``{"transform_fn": t_fn, "t": [M, t_dim], "targets":
+        [M, H, W, 3] original frames, "weights": optional originals}`` —
+        tells, loss curves, and winner selection then score the generated
+        image un-warped back to the original frame against the original
+        target with the binarized original weight, exactly the reference's
+        ``inverted_loss`` (``base_cma_optimizer.py:113-139``); the inner
+        Adam objective stays the warped-frame loss.
         Returns a dict with per-image best latents, losses, outputs, and
         ``loss_curves [meta_steps, M]`` (per-generation per-image min tell
         losses, fetched one generation behind the dispatch queue).
@@ -293,6 +456,14 @@ class BatchedBasinCMAOptimizer:
         data = {"targets": targets, "fixed": fixed_inputs}
         if weights is not None:
             data["weights"] = jnp.asarray(weights)
+        if tell_inverted is not None:
+            from pix2latent_tpu.utils.image import binarize
+            self._tell_fn = tell_inverted["transform_fn"]
+            data["tell_t"] = jnp.asarray(tell_inverted["t"])
+            data["tell_target"] = jnp.asarray(tell_inverted["targets"])
+            tw = tell_inverted.get("weights")
+            if tw is not None:
+                data["tell_weight"] = binarize(jnp.asarray(tw))
         if hasattr(self.loss_fn, "precompute"):
             # target-side loss context (LPIPS pyramid) ONCE per batch, on
             # the M unique rows; generations repeat it per-sample in-graph
@@ -333,10 +504,9 @@ class BatchedBasinCMAOptimizer:
         ckpt.finalize(meta_steps, {"states": states, "key": self._key})
 
         # final long generation: ask once more, refine longer, skip the tell
-        final_fn = self._get_generation(m, last_grad_steps, data)
-        states_after, learn, final_loss, _ = final_fn(
-            self.model.params, data, states, self._next_key(),
-            jnp.asarray(meta_steps, jnp.int32))
+        learn, final_loss = self._run_final(
+            m, data, states, meta_steps, last_grad_steps,
+            final_segment_steps)
 
         loss = np.asarray(final_loss)                    # [M, pop]
         loss = np.where(np.isfinite(loss), loss, np.inf)  # nan-samples lose

@@ -11,8 +11,13 @@ sync axon's block_until_ready can't fake) — solo, plus the amortized cost
 when phase 1 runs batched at the recommended M=12 with ``max_batch_size=4``
 (BASELINE.md round-3 recipe).
 
-Prints ONE JSON line: full two-phase wall-clock + inversions/hour, solo and
-with batched phase 1.
+Prints ONE JSON line: full two-phase wall-clock + inversions/hour, solo,
+with batched phase 1, and FULLY batched (phase 2 batched too: once t is
+frozen per image, the inner-loop warped target/weight are constants, so
+phase 2 runs as a batched multi-image inversion through
+``BatchedBasinCMAOptimizer`` with per-image precomputed warps; CMA tells
+and winner selection keep the reference's inverted-frame semantics via
+``tell_inverted`` — exactness pinned by ``tests/test_two_phase.py``).
 """
 
 import argparse
@@ -98,6 +103,13 @@ def main():
     ap.add_argument("--p2_last", type=int, default=300)
     ap.add_argument("--batch_m", type=int, default=12)
     ap.add_argument("--batch_mbs", type=int, default=4)
+    ap.add_argument("--p2_batch_mbs", type=int, default=108,
+                    help="max_batch_size for the batched phase 2 over the "
+                         "M*pop concatenated rows (BASELINE.md knee: exact-"
+                         "divisor chunks near 126 rows; None when it fits)")
+    ap.add_argument("--skip_solo", action="store_true",
+                    help="measure only the batched legs (phase-1 candidates "
+                         "still come from the batched phase 1)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
     ap.add_argument("--smoke", action="store_true")
@@ -127,17 +139,20 @@ def main():
         search_warp = SpatialTransform(sensitivity=0.1)
 
         # -- solo two-phase pipeline (one misaligned image) ----------------- #
-        vm = _vm(model, targets[0])
-        p1 = _phase1(model, vm, loss_fn, search_warp,
-                     args.p1_meta, args.p1_grad)
-        t0 = time.time()
-        p1.optimize_fused(meta_steps=args.p1_meta, grad_steps=args.p1_grad)
-        best_t = p1.get_candidate()
-        p1_s = time.time() - t0
-        assert best_t is not None
-        p2_s, p2_loss = _phase2(model, vm, loss_fn, search_warp, best_t,
-                                args.p2_meta, args.p2_grad, args.p2_last)
-        solo_s = p1_s + p2_s
+        p1_s = p2_s = solo_s = p2_loss = None
+        if not args.skip_solo:
+            vm = _vm(model, targets[0])
+            p1 = _phase1(model, vm, loss_fn, search_warp,
+                         args.p1_meta, args.p1_grad)
+            t0 = time.time()
+            p1.optimize_fused(meta_steps=args.p1_meta,
+                              grad_steps=args.p1_grad)
+            best_t = p1.get_candidate()
+            p1_s = time.time() - t0
+            assert best_t is not None
+            p2_s, p2_loss = _phase2(model, vm, loss_fn, search_warp, best_t,
+                                    args.p2_meta, args.p2_grad, args.p2_last)
+            solo_s = p1_s + p2_s
 
         # -- batched phase 1 at the recommended M, then solo phase 2 -------- #
         vm_b = _vm(model, targets[0])
@@ -158,19 +173,67 @@ def main():
                                   args.p2_meta, args.p2_grad, args.p2_last)
         amortized_s = p1b_s / args.batch_m + p2b_s
 
+        # -- FULLY batched: phase 2 batched over the per-image frozen t ----- #
+        # With t frozen, warp(target, t_i) and warp(ones, t_i) are constants;
+        # precompute them once and run phase 2 as a plain batched M-image
+        # inversion (same search semantics as the solo phase 2 — CMA over z,
+        # Adam-refined z and c, the transform never re-evaluated in-graph).
+        from pix2latent_tpu import hooks
+        from pix2latent_tpu.optimizers import BatchedBasinCMAOptimizer
+
+        t_best = jnp.asarray(np.asarray(res["candidate"]))       # [M, 3]
+        assert np.isfinite(np.asarray(t_best)).all(), (
+            "phase-1 produced a non-finite candidate t — a NaN t poisons "
+            f"every phase-2 sample of that image: {np.asarray(t_best)}")
+        # the candidate is a DELTA (apply_transforms goes through __call__:
+        # t_eff = default_t + sensitivity * Δt) — precompute via __call__,
+        # exactness pinned by tests/test_two_phase.py
+        warped_t = jnp.concatenate([
+            search_warp(targets[i:i + 1], t_best[i:i + 1])
+            for i in range(args.batch_m)])
+        ones = jnp.ones_like(targets[:1])
+        warped_w = jnp.concatenate([
+            search_warp(ones, t_best[i:i + 1])
+            for i in range(args.batch_m)])
+        # never chunk what already fits: 126 concurrent rows is the measured
+        # plain-compile knee (BASELINE.md round-4 table)
+        rows = args.batch_m * 18
+        p2f = BatchedBasinCMAOptimizer(
+            model, loss_fn, z_dim=128, learning_rate=0.05,
+            learnable_inputs={"c": 0.01}, hook_fn=hooks.Clamp(2.0),
+            max_batch_size=args.p2_batch_mbs if rows > 126 else None)
+        t0 = time.time()
+        res2 = p2f.optimize(
+            warped_t, warped_w,
+            fixed_inputs={"c": jnp.zeros((args.batch_m, 128))},
+            meta_steps=args.p2_meta, grad_steps=args.p2_grad,
+            last_grad_steps=args.p2_last,
+            # reference phase-2 semantics: tells/winner selection score the
+            # un-warped output against the ORIGINAL frame (inverted_loss)
+            tell_inverted={"transform_fn": search_warp, "t": t_best,
+                           "targets": targets[:args.batch_m]})
+        p2f_s = time.time() - t0
+        p2f_losses = np.asarray(res2["loss"])
+        # report finiteness in the JSON instead of asserting before the
+        # print (ADVICE round 3: a NaN loss must not discard valid timings)
+        p2f_finite = int(np.isfinite(p2f_losses).sum())
+        p2f_fin_losses = p2f_losses[np.isfinite(p2f_losses)]
+        full_amortized_s = (p1b_s + p2f_s) / args.batch_m
+
     print(json.dumps({
         "metric": "BigGAN-256 two-phase transform inversion wall-clock "
                   f"(phase1 {args.p1_meta}x{args.p1_grad} pop7 -> "
                   f"phase2 {args.p2_meta}x{args.p2_grad}+{args.p2_last} "
                   "pop18, end-to-end)",
-        "value": round(solo_s, 1),
+        "value": round(solo_s if solo_s is not None else full_amortized_s, 1),
         "unit": "seconds",
         "vs_baseline": None,
         "detail": {
-            "solo": {"phase1_s": round(p1_s, 1), "phase2_s": round(p2_s, 1),
-                     "total_s": round(solo_s, 1),
-                     "inversions_per_hour": round(3600 / solo_s, 2),
-                     "phase2_final_loss": round(p2_loss, 5)},
+            "solo": None if solo_s is None else {
+                "phase1_s": round(p1_s, 1), "phase2_s": round(p2_s, 1),
+                "total_s": round(solo_s, 1),
+                "inversions_per_hour": round(3600 / solo_s, 2),
+                "phase2_final_loss": round(p2_loss, 5)},
             "batched_phase1": {
                 "m": args.batch_m, "max_batch_size": args.batch_mbs,
                 "phase1_batched_s": round(p1b_s, 1),
@@ -179,10 +242,28 @@ def main():
                 "amortized_total_s": round(amortized_s, 1),
                 "inversions_per_hour": round(3600 / amortized_s, 2),
                 "phase2_final_loss": round(p2b_loss, 5)},
+            "full_batched": {
+                "m": args.batch_m,
+                "p2_max_batch_size": (args.p2_batch_mbs
+                                      if args.batch_m * 18 > 126 else None),
+                "phase1_batched_s": round(p1b_s, 1),
+                "phase2_batched_s": round(p2f_s, 1),
+                "amortized_total_s": round(full_amortized_s, 1),
+                "inversions_per_hour": round(3600 / full_amortized_s, 2),
+                "finite_images": p2f_finite,
+                "phase2_final_loss_mean": (
+                    round(float(p2f_fin_losses.mean()), 5)
+                    if p2f_finite else None),
+                "phase2_final_loss_max": (
+                    round(float(p2f_fin_losses.max()), 5)
+                    if p2f_finite else None)},
             "compute_dtype": args.dtype,
             "backend": jax.default_backend(),
         },
     }))
+    assert p2f_finite == args.batch_m, (
+        f"only {p2f_finite}/{args.batch_m} batched phase-2 images landed "
+        "finite losses (JSON above still carries the valid timings)")
 
 
 if __name__ == "__main__":

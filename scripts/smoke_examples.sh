@@ -22,6 +22,7 @@ EXAMPLES=(
     invert_biggan_hybrid_nevergrad
     invert_biggan_batched
     invert_biggan_with_transform
+    invert_biggan_transform_batched
     edit_biggan
     invert_stylegan2_cars_basincma
     invert_stylegan2_cars_adam

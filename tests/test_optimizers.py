@@ -469,6 +469,32 @@ class TestBatchedBasinCMA:
                                    np.asarray(resumed["z"]),
                                    rtol=0, atol=1e-6)
 
+    @pytest.mark.parametrize("mbs", [None, 3])
+    def test_segmented_final_matches_one_scan(self, model, mbs):
+        """The segmented final refinement (the axon long-scan-fault
+        workaround, ``batched.py:_build_final_fns``) reproduces the
+        single-program final trajectory: same ask, same per-step keys/step
+        indices, bounded dispatches."""
+        from pix2latent_tpu.optimizers.batched import BatchedBasinCMAOptimizer
+        z_true = jax.random.normal(jax.random.PRNGKey(31), (2, Z_DIM))
+        targets = model(z=z_true)
+
+        def run(seg):
+            opt = BatchedBasinCMAOptimizer(
+                model, lambda out, target: LF.l1_loss(out, target),
+                z_dim=Z_DIM, popsize=8, seed=7, max_batch_size=mbs)
+            return opt.optimize(targets, meta_steps=2, grad_steps=5,
+                                last_grad_steps=10, final_segment_steps=seg)
+
+        one_scan = run(None)          # single 10-step final program
+        segmented = run(4)            # 3 bounded dispatches: 4 + 4 + 2
+        np.testing.assert_allclose(np.asarray(one_scan["z"]),
+                                   np.asarray(segmented["z"]),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(one_scan["loss"]),
+                                   np.asarray(segmented["loss"]),
+                                   rtol=0, atol=1e-6)
+
 
 class TestMultihost:
     """parallel/multihost.py: jax.distributed wrapper + local-row mapping."""
