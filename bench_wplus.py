@@ -123,23 +123,11 @@ def main():
                                         track_variables=False)
                 # a single 500-step w+ scan reproducibly faults the axon
                 # TPU worker (UNAVAILABLE kernel fault at the result fetch,
-                # measured — same runtime-bug class as the full-covariance
-                # CMA + w+ crash, CLAUDE.md); the hybrid driver's 50-step
-                # inner scans run the identical forward fine, so drive the
-                # Adam budget as 50-step scan chunks
-                variables = opt.var_manager.initialize(
-                    num_samples=POP, key=opt.next_key())
-                variables = opt.core.place(variables)
-                variables = opt.core.apply_transforms(variables)
-                opt_state = opt.core.init_opt_state(variables)
-                done, out, ys = 0, None, None
-                while done < total_steps:
-                    n = min(50, total_steps - done)
-                    variables, opt_state, out, ys = opt.core.grad_steps(
-                        variables, opt_state, opt.next_key(), n,
-                        start_step=done, track=False)
-                    done += n
-                opt.out, opt.loss = out, np.asarray(ys["loss"][-1])
+                # measured, CLAUDE.md) — the library now segments long
+                # gradient runs into bounded trajectory-equal dispatches
+                # (core/step.py grad_steps, segment_steps=50), so the plain
+                # driver call is axon-safe at the full reference budget
+                opt.optimize(num_samples=POP, grad_steps=total_steps)
             else:
                 total_steps = args.meta * args.grad + args.last
                 opt = HybridNevergradOptimizer(method, model, vm, loss_fn,

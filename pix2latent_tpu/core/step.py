@@ -96,7 +96,8 @@ class ExecutionCore:
 
     def __init__(self, model, var_manager: VariableManager, loss_fn: Callable,
                  mesh=None, track_variables: bool = False,
-                 max_batch_size: Optional[int] = None):
+                 max_batch_size: Optional[int] = None,
+                 segment_steps: Optional[int] = 50):
         self.model = as_model(model)
         self.var_manager = var_manager
         self.loss_fn = loss_fn
@@ -109,6 +110,15 @@ class ExecutionCore:
         # compiled program. Needed for e.g. FFHQ-1024 x pop-22 on one chip
         # (the 1024^2 x 32ch tensors lane-pad 4x on TPU).
         self.max_batch_size = max_batch_size
+        # long-scan segmentation: gradient runs longer than this many steps
+        # execute as bounded per-dispatch scan segments whose Adam/variable
+        # carry stays on device — trajectory-equal to one scan (the per-step
+        # key/step arrays are the single program's exact splits), but immune
+        # to the axon TPU worker fault that long scans over a big forward
+        # reproducibly trigger (measured at 300-500 steps; CLAUDE.md). 50 is
+        # the measured-safe repo constant (the batched driver's
+        # final_segment_steps). None/0 disables segmentation.
+        self.segment_steps = segment_steps
         self.optimizer = var_manager.make_optimizer()
         # transform registry: dst var name -> dict(fn, param name)
         self.transform_fns: Dict[str, dict] = {}
@@ -378,6 +388,45 @@ class ExecutionCore:
             # the returned values, and donation lets XLA reuse their HBM
             return jax.jit(scan_fn, donate_argnums=(1, 2))
 
+        if kind == "grad_scan_xs":
+            # One SEGMENT of a long gradient run: identical body to
+            # "grad_scan" but the per-step (steps, keys) arrays arrive as
+            # ARGUMENTS — the caller pre-splits the master key exactly as
+            # the single-scan program would (jax.random.split is
+            # deterministic, traced or not), so a chain of segments is
+            # bit-equal to one scan while every dispatch stays bounded
+            # (the axon long-scan fault, CLAUDE.md). Not donated: the
+            # segment's input carry is what the one-behind checkpoint
+            # protocol saves after dispatching the next segment.
+            track = static["track"]
+
+            def seg_fn(params, variables, opt_state, steps, keys):
+                variables = self._dedupe_outputs(variables)
+                out_shape = self._out_shape(params, variables)
+                ctx = self._make_ctx(variables)
+
+                def body(carry, xs):
+                    variables, opt_state, _ = carry
+                    i, k = xs
+                    variables = vm.apply_hooks(k, variables, i)
+                    per_sample, out, grads = self._value_and_grad(
+                        params, variables, ctx)
+                    updates, opt_state = self.optimizer.update(
+                        grads, opt_state, variables)
+                    variables = optax.apply_updates(variables, updates)
+                    ys = {"loss": per_sample}
+                    if track:
+                        ys["tracked"] = variables.get("input", {})
+                    return (variables, opt_state,
+                            out.reshape(out.shape[0], -1)), ys
+
+                out0 = jnp.zeros((out_shape[0],
+                                  int(np.prod(out_shape[1:]))), jnp.float32)
+                (variables, opt_state, out_flat), ys = jax.lax.scan(
+                    body, (variables, opt_state, out0), (steps, keys))
+                return variables, opt_state, out_flat.reshape(out_shape), ys
+            return jax.jit(seg_fn)
+
         if kind in ("tell_loss", "tell_loss_raw"):
             # CMA tell loss: a fresh forward of the post-inner-loop variables
             # (the reference re-evaluates inside cma_update when loss=None,
@@ -440,17 +489,104 @@ class ExecutionCore:
                                  jnp.asarray(step, jnp.int32))
 
     def grad_steps(self, variables, opt_state, key, n_steps,
-                   start_step=0, track: Optional[bool] = None):
-        """Run ``n_steps`` fused hook/forward/grad/Adam steps as one scan.
+                   start_step=0, track: Optional[bool] = None,
+                   checkpoint_path=None, checkpoint_every: int = 1):
+        """Run ``n_steps`` fused hook/forward/grad/Adam steps.
+
+        Runs as ONE scan when ``n_steps <= self.segment_steps`` (or
+        segmentation is disabled); longer budgets execute as bounded
+        per-dispatch segments that reproduce the single scan's trajectory
+        bit for bit (same key splits, same step indices — the library-level
+        cure for the axon long-scan worker fault, VERDICT.md round 4
+        weak #1). ``checkpoint_path`` makes the segmented run crash-safe:
+        the segment carry (variables + Adam state + steps done) is saved
+        one-behind every ``checkpoint_every`` segments and auto-resumed.
 
         Returns ``(variables, opt_state, out, ys)`` where ``ys['loss']`` is
-        ``[n_steps, pop]`` and ``ys['tracked']`` (when tracking) stacks the
-        input variables per step.
+        ``[n_steps, pop]`` (post-resume steps only when resuming) and
+        ``ys['tracked']`` (when tracking) stacks the input variables per
+        step.
         """
         track = self.track_variables if track is None else track
-        fn = self._get("grad_scan", n_steps=int(n_steps), track=bool(track))
-        return fn(self.model.params, variables, opt_state, key,
-                  jnp.asarray(start_step, jnp.int32))
+        n_steps = int(n_steps)
+        seg = self.segment_steps
+        if not checkpoint_path and (not seg or n_steps <= seg):
+            fn = self._get("grad_scan", n_steps=n_steps, track=bool(track))
+            return fn(self.model.params, variables, opt_state, key,
+                      jnp.asarray(start_step, jnp.int32))
+        return self._grad_steps_segmented(
+            variables, opt_state, key, n_steps, int(start_step),
+            bool(track), int(seg) if seg else n_steps, checkpoint_path,
+            max(int(checkpoint_every), 1))
+
+    def _grad_steps_segmented(self, variables, opt_state, key, n_steps,
+                              start_step, track, seg, ckpt_path, ckpt_every):
+        """Segmented executor for :meth:`grad_steps` (see its docstring).
+
+        Trajectory equality: the single-scan program computes
+        ``keys = jax.random.split(key, n_steps)`` and
+        ``steps = start_step + arange(n_steps)`` inside the trace; both are
+        deterministic, so pre-computing them here and feeding slices to the
+        segment program reproduces the one-scan trajectory exactly
+        (``tests/test_core.py::TestSegmentedGradSteps``). Checkpoints use
+        the same one-behind protocol as the fused meta loops
+        (``utils/checkpoint.py:FusedCheckpointer``): the carry ENTERING the
+        just-dispatched segment is already materialized, so the host write
+        never stalls the dispatch queue."""
+        from pix2latent_tpu.utils.checkpoint import (checkpoint_exists,
+                                                     load_checkpoint,
+                                                     save_checkpoint)
+        keys = jax.random.split(key, n_steps)
+        done = 0
+        if ckpt_path and checkpoint_exists(ckpt_path):
+            template = {"variables": variables, "opt_state": opt_state,
+                        "done": jnp.asarray(0, jnp.int32)}
+            loaded = load_checkpoint(ckpt_path, template)
+            done = int(loaded.pop("done"))
+            variables, opt_state = loaded["variables"], loaded["opt_state"]
+            if self.mesh is not None:
+                variables = self.place(variables)
+            from pix2latent_tpu.utils.misc import cprint
+            cprint(f"(checkpoint) resumed gradient run at step {done}"
+                   f"/{n_steps}", "y")
+        if done >= n_steps:
+            # fully-complete checkpoint: recompute (out, loss) with one eval
+            # (the in-scan final out is not persisted; hook noise differs by
+            # one draw — loss-equivalent, documented)
+            out, loss = self.eval(variables, keys[-1],
+                                  step=start_step + n_steps - 1)
+            return variables, opt_state, out, {"loss": jnp.asarray(loss)[None]}
+
+        fn = self._get("grad_scan_xs", track=track)
+        losses, tracked = [], []
+        out = None
+        for si, s0 in enumerate(range(done, n_steps, seg)):
+            s1 = min(s0 + seg, n_steps)
+            carry_in = (variables, opt_state)
+            variables, opt_state, out, ys = fn(
+                self.model.params, variables, opt_state,
+                jnp.asarray(start_step + np.arange(s0, s1), jnp.int32),
+                keys[s0:s1])
+            losses.append(ys["loss"])
+            if track:
+                tracked.append(ys["tracked"])
+            if ckpt_path and si % ckpt_every == 0:
+                # one-behind: carry_in is segment s0's INPUT — materialized
+                # once the previous segment finished, while this segment is
+                # already in flight
+                save_checkpoint(ckpt_path,
+                                {"variables": carry_in[0],
+                                 "opt_state": carry_in[1],
+                                 "done": jnp.asarray(s0, jnp.int32)})
+        if ckpt_path:
+            save_checkpoint(ckpt_path,
+                            {"variables": variables, "opt_state": opt_state,
+                             "done": jnp.asarray(n_steps, jnp.int32)})
+        ys = {"loss": jnp.concatenate(losses, axis=0)}
+        if track and tracked:
+            ys["tracked"] = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *tracked)
+        return variables, opt_state, out, ys
 
     def tell_loss(self, variables, key, step=0, inverted=True):
         """Fresh per-sample loss for the CMA tell (un-warped frame when a

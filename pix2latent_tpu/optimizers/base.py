@@ -40,18 +40,23 @@ class _BaseOptimizer:
             ``self.tracked``; kept on device until the run ends).
         mesh: optional ``jax.sharding.Mesh`` to shard the population over.
         seed: RNG seed for this optimizer's key stream.
+        segment_steps: gradient runs longer than this execute as bounded
+            per-dispatch scan segments, trajectory-equal to one scan (the
+            axon long-scan fault guard, ``core/step.py:grad_steps``).
+            Default 50 — the measured-safe repo constant; None disables.
     """
 
     def __init__(self, model, var_manager: VariableManager, loss_fn,
                  max_batch_size: Optional[int] = None, log: bool = False,
                  track_variables: bool = True, mesh=None, seed: int = 0,
-                 **kwargs):
+                 segment_steps: Optional[int] = 50, **kwargs):
         self.max_batch_size = max_batch_size
         self.var_manager = var_manager
         self.loss_fn = loss_fn
         self.core = ExecutionCore(model, var_manager, loss_fn, mesh=mesh,
                                   track_variables=track_variables,
-                                  max_batch_size=max_batch_size)
+                                  max_batch_size=max_batch_size,
+                                  segment_steps=segment_steps)
         self.model = self.core.model
         self.mesh = mesh
 
@@ -85,9 +90,14 @@ class _BaseOptimizer:
     # -- fused inner runs ------------------------------------------------ #
 
     def _run_inner(self, variables, opt_state, n_steps, start_step,
-                   pbar=None, total_steps=None, timer=None):
+                   pbar=None, total_steps=None, timer=None,
+                   checkpoint_path=None, checkpoint_every=1):
         """Run ``n_steps`` gradient steps, chunked only as needed for
-        logging. Returns (variables, opt_state, out, all_losses [n, pop]).
+        logging (long runs are additionally segmented inside
+        ``core.grad_steps`` — trajectory-equal bounded dispatches).
+        ``checkpoint_path`` makes the run crash-safe at segment granularity
+        (ignored under per-iteration logging, whose chunks are already
+        short). Returns (variables, opt_state, out, all_losses [n, pop]).
         """
         if n_steps == 0:
             out, loss = self.core.eval(variables, self.next_key(), start_step)
@@ -102,7 +112,9 @@ class _BaseOptimizer:
             n = min(chunk, n_steps - done)
             variables, opt_state, out, ys = self.core.grad_steps(
                 variables, opt_state, self.next_key(), n,
-                start_step=start_step + done)
+                start_step=start_step + done,
+                checkpoint_path=None if self.log else checkpoint_path,
+                checkpoint_every=checkpoint_every)
             losses.append(ys["loss"])
             if self.track_variables and "tracked" in ys:
                 self._accumulate_tracked(ys["tracked"])

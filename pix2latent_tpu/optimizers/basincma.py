@@ -84,13 +84,21 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         self.cma_state = state
         ckpt.finalize(meta_steps, {"state": state, "key": self._key})
 
-        # final long generation (skips the tell, reference semantics)
+        # final long generation (skips the tell, reference semantics); runs
+        # as bounded trajectory-equal segments (core.segment_steps) with its
+        # own crash-safe checkpoint — the 1,200-step flagship run is now
+        # resumable end-to-end, not just through the meta loop (the key
+        # stream replays deterministically from the finalized meta carry,
+        # so the resumed final sees identical keys)
         variables = self.cma_init(self.var_manager)
         variables = self.core.apply_transforms(variables)
         opt_state = self.core.init_opt_state(variables)
         variables, opt_state, out, ys = self.core.grad_steps(
             variables, opt_state, self.next_key(), last_grad_steps,
-            start_step=meta_steps * grad_steps, track=False)
+            start_step=meta_steps * grad_steps, track=False,
+            checkpoint_path=(checkpoint_path + ".final"
+                             if checkpoint_path else None),
+            checkpoint_every=checkpoint_every)
         self.out = out
         self.loss = np.asarray(ys["loss"][-1])
         return self._final_results(variables, total_steps)
@@ -135,7 +143,10 @@ class BasinCMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
 
             variables, opt_state, out, _ = self._run_inner(
                 variables, opt_state, n_inner, start_step=step_count,
-                pbar=pbar, total_steps=total_steps, timer=timer)
+                pbar=pbar, total_steps=total_steps, timer=timer,
+                checkpoint_path=(checkpoint_path + ".final"
+                                 if checkpoint_path and is_last else None),
+                checkpoint_every=checkpoint_every)
             step_count += n_inner
 
             if not is_last:

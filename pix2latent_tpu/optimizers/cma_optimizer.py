@@ -80,7 +80,8 @@ class CMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         self.cma_state = state
         ckpt.finalize(meta_steps, {"state": state, "key": self._key})
 
-        # -- Adam finetune of a final ask (reference cma_optimizer.py:59-65)
+        # -- Adam finetune of a final ask (reference cma_optimizer.py:59-65);
+        # segmented + checkpointed like the BasinCMA final
         import numpy as np
         variables = self.cma_init(self.var_manager)
         variables = self.core.apply_transforms(variables)
@@ -88,7 +89,10 @@ class CMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
             opt_state = self.core.init_opt_state(variables)
             variables, opt_state, out, ys = self.core.grad_steps(
                 variables, opt_state, self.next_key(), grad_steps,
-                start_step=meta_steps, track=False)
+                start_step=meta_steps, track=False,
+                checkpoint_path=(checkpoint_path + ".final"
+                                 if checkpoint_path else None),
+                checkpoint_every=checkpoint_every)
             self.out, self.loss = out, np.asarray(ys["loss"][-1])
         else:
             out, loss = self.core.eval(variables, self.next_key(),
@@ -139,6 +143,9 @@ class CMAOptimizer(_BaseOptimizer, _BaseCMAOptimizer):
         opt_state = self.core.init_opt_state(variables)
         variables, opt_state, out, _ = self._run_inner(
             variables, opt_state, grad_steps, start_step=meta_steps,
-            pbar=pbar, total_steps=total_steps, timer=timer)
+            pbar=pbar, total_steps=total_steps, timer=timer,
+            checkpoint_path=(checkpoint_path + ".final"
+                             if checkpoint_path else None),
+            checkpoint_every=checkpoint_every)
 
         return self._final_results(variables, total_steps)

@@ -15,10 +15,16 @@ from pix2latent_tpu.utils.misc import Timer
 
 class GradientOptimizer(_BaseOptimizer):
 
-    def optimize(self, num_samples, grad_steps, pbar=None):
+    def optimize(self, num_samples, grad_steps, pbar=None,
+                 checkpoint_path=None, checkpoint_every=1):
         """Args match the reference (``gradient_optimizer.py:22-35``):
         optimize ``num_samples`` seeds for ``grad_steps`` Adam updates.
-        Returns ``(variables, outs, losses)``.
+        Long budgets (e.g. the reference's w+ Adam-500 recipe,
+        ``examples/invert_stylegan2_cars_adam.py``) run as bounded
+        trajectory-equal scan segments inside the core — safe on the axon
+        TPU, where a single 500-step w+ scan faults the worker (CLAUDE.md).
+        ``checkpoint_path`` makes the run crash-safe/resumable at segment
+        granularity. Returns ``(variables, outs, losses)``.
         """
         self.losses, self.outs = [], []
 
@@ -33,6 +39,8 @@ class GradientOptimizer(_BaseOptimizer):
         timer = Timer()
         variables, opt_state, out, _ = self._run_inner(
             variables, opt_state, grad_steps, start_step=0, pbar=pbar,
-            total_steps=grad_steps, timer=timer)
+            total_steps=grad_steps, timer=timer,
+            checkpoint_path=checkpoint_path,
+            checkpoint_every=checkpoint_every)
 
         return self._final_results(variables, grad_steps)

@@ -57,7 +57,10 @@ class NevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
         opt_state = self.core.init_opt_state(variables)
         variables, opt_state, out, _ = self._run_inner(
             variables, opt_state, grad_steps, start_step=meta_steps,
-            pbar=pbar, total_steps=total_steps, timer=timer)
+            pbar=pbar, total_steps=total_steps, timer=timer,
+            checkpoint_path=(checkpoint_path + ".final"
+                             if checkpoint_path else None),
+            checkpoint_every=checkpoint_every)
 
         return self._final_results(variables, total_steps)
 
@@ -118,14 +121,18 @@ class NevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
         self.ng_state = state
         ckpt.finalize(meta_steps, {"state": state, "key": self._key})
 
-        # -- Adam finetune of a final ask (reference ng_optimizer.py:63-81)
+        # -- Adam finetune of a final ask (reference ng_optimizer.py:63-81);
+        # segmented + checkpointed like the BasinCMA final
         variables = self.ng_init(self.var_manager)
         variables = self.core.apply_transforms(variables)
         if grad_steps > 0:
             opt_state = self.core.init_opt_state(variables)
             variables, opt_state, out, ys = self.core.grad_steps(
                 variables, opt_state, self.next_key(), grad_steps,
-                start_step=meta_steps, track=False)
+                start_step=meta_steps, track=False,
+                checkpoint_path=(checkpoint_path + ".final"
+                                 if checkpoint_path else None),
+                checkpoint_every=checkpoint_every)
             self.out, self.loss = out, np.asarray(ys["loss"][-1])
         else:
             out, loss = self.core.eval(variables, self.next_key(),
@@ -198,13 +205,18 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
         self.ng_state = state
         ckpt.finalize(meta_steps, {"state": state, "key": self._key})
 
-        # final long generation (skips the tell, reference semantics)
+        # final long generation (skips the tell, reference semantics); runs
+        # as bounded trajectory-equal segments with its own crash-safe
+        # checkpoint (see BasinCMAOptimizer.optimize_fused)
         variables = self.ng_init(self.var_manager)
         variables = self.core.apply_transforms(variables)
         opt_state = self.core.init_opt_state(variables)
         variables, opt_state, out, ys = self.core.grad_steps(
             variables, opt_state, self.next_key(), last_grad_steps,
-            start_step=meta_steps * grad_steps, track=False)
+            start_step=meta_steps * grad_steps, track=False,
+            checkpoint_path=(checkpoint_path + ".final"
+                             if checkpoint_path else None),
+            checkpoint_every=checkpoint_every)
         self.out = out
         import numpy as np
         self.loss = np.asarray(ys["loss"][-1])
@@ -241,7 +253,10 @@ class HybridNevergradOptimizer(_BaseOptimizer, _BaseNGOptimizer):
 
             variables, opt_state, out, _ = self._run_inner(
                 variables, opt_state, n_inner, start_step=step_count,
-                pbar=pbar, total_steps=total_steps, timer=timer)
+                pbar=pbar, total_steps=total_steps, timer=timer,
+                checkpoint_path=(checkpoint_path + ".final"
+                                 if checkpoint_path and is_last else None),
+                checkpoint_every=checkpoint_every)
             step_count += n_inner
 
             if not is_last:

@@ -192,3 +192,126 @@ class TestBringYourOwnGenerator:
         # params travel as arguments (cache rule), not closures
         out2 = m.apply(2.0 * w, z=jnp.ones((2, 8)))
         assert float(jnp.max(jnp.abs(out2 - 2.0 * out))) < 1e-6
+
+
+class TestSegmentedGradSteps:
+    """Library-level long-scan segmentation (``core/step.py:grad_steps``):
+    budgets past ``segment_steps`` run as bounded per-dispatch scan segments
+    whose trajectory is bit-equal to the single scan — the axon TPU worker
+    faults on single scans >=300-500 steps over a big forward (CLAUDE.md),
+    so segmentation is a library property, not a bench trick (VERDICT.md
+    round 4, task 2)."""
+
+    def _problem(self, hook=True):
+        model = make_toy_model(z_dim=4, res=8, width=8, seed=0)
+        z_true = jax.random.normal(jax.random.PRNGKey(5), (1, 4))
+        target = model(z=z_true)[0]
+        vm = VariableManager(seed=0)
+        vm.register("z", shape=(4,), var_type="input", learning_rate=0.05,
+                    hook_fn=hooks.NormalPerturb(0.01) if hook else None)
+        vm.register("target", shape=(8, 8, 3), var_type="output",
+                    requires_grad=False, default=target)
+        loss = lambda out, target: LF.l1_loss(out, target)
+        return model, vm, loss
+
+    def _init(self, core, vm, pop=5):
+        v = vm.initialize(pop, key=jax.random.PRNGKey(11))
+        return v, core.init_opt_state(v)
+
+    @pytest.mark.parametrize("seg", [3, 4, 10])
+    def test_trajectory_equals_single_scan(self, seg):
+        """Same master key, same step indices -> segmented == one scan,
+        including the per-step hook noise (the keys are the one-scan
+        program's exact splits)."""
+        model, vm, loss = self._problem(hook=True)
+        key = jax.random.PRNGKey(42)
+
+        core1 = ExecutionCore(model, vm, loss, segment_steps=None)
+        v1, s1 = self._init(core1, vm)
+        v1, s1, out1, ys1 = core1.grad_steps(v1, s1, key, 10, start_step=7)
+
+        core2 = ExecutionCore(model, vm, loss, segment_steps=seg)
+        v2, s2 = self._init(core2, vm)
+        v2, s2, out2, ys2 = core2.grad_steps(v2, s2, key, 10, start_step=7)
+
+        np.testing.assert_array_equal(np.asarray(v1["input"]["z"]),
+                                      np.asarray(v2["input"]["z"]))
+        np.testing.assert_array_equal(np.asarray(ys1["loss"]),
+                                      np.asarray(ys2["loss"]))
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_tracked_concatenates_across_segments(self):
+        model, vm, loss = self._problem(hook=False)
+        core = ExecutionCore(model, vm, loss, track_variables=True,
+                             segment_steps=4)
+        v, s = self._init(core, vm)
+        _, _, _, ys = core.grad_steps(v, s, jax.random.PRNGKey(0), 10)
+        assert ys["tracked"]["z"].shape == (10, 5, 4)
+        assert ys["loss"].shape == (10, 5)
+
+    def test_checkpoint_resume_after_crash(self, tmp_path):
+        """Kill the run mid-segment; the resumed call (fresh initial state,
+        replayed key — what a restarted driver passes) continues from the
+        one-behind checkpoint and lands on the uninterrupted trajectory."""
+        model, vm, loss = self._problem(hook=True)
+        key = jax.random.PRNGKey(9)
+        p = str(tmp_path / "final.ckpt")
+
+        core = ExecutionCore(model, vm, loss, segment_steps=3)
+        v0, s0 = self._init(core, vm)
+        expected, _, _, eys = core.grad_steps(v0, s0, key, 10)
+
+        core2 = ExecutionCore(model, vm, loss, segment_steps=3)
+        cache_key = ("grad_scan_xs", (("track", False),))
+        real = core2._get("grad_scan_xs", track=False)
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 3:
+                raise RuntimeError("injected crash")
+            return real(*a, **k)
+
+        core2._compiled[cache_key] = flaky
+        v0, s0 = self._init(core2, vm)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            core2.grad_steps(v0, s0, key, 10, checkpoint_path=p)
+        core2._compiled[cache_key] = real
+
+        # restart: fresh initial state + same key, as a replaying driver
+        v0, s0 = self._init(core2, vm)
+        v2, _, _, ys2 = core2.grad_steps(v0, s0, key, 10, checkpoint_path=p)
+        np.testing.assert_array_equal(np.asarray(expected["input"]["z"]),
+                                      np.asarray(v2["input"]["z"]))
+        # post-resume losses match the tail of the uninterrupted run
+        n_tail = ys2["loss"].shape[0]
+        assert 0 < n_tail < 10
+        np.testing.assert_array_equal(np.asarray(eys["loss"])[-n_tail:],
+                                      np.asarray(ys2["loss"]))
+
+        # a re-run of the COMPLETED checkpoint skips all compute and
+        # returns the checkpointed variables
+        v0, s0 = self._init(core2, vm)
+        v3, _, out3, ys3 = core2.grad_steps(v0, s0, key, 10,
+                                            checkpoint_path=p)
+        np.testing.assert_array_equal(np.asarray(expected["input"]["z"]),
+                                      np.asarray(v3["input"]["z"]))
+        assert out3.shape == (5, 8, 8, 3)
+        assert ys3["loss"].shape[0] == 1
+
+    def test_gradient_optimizer_end_to_end_equal(self):
+        """Driver-level: GradientOptimizer trajectories are independent of
+        the segmentation config (same seed, same budget)."""
+        from pix2latent_tpu.optimizers import GradientOptimizer
+
+        def run(seg):
+            model, vm, loss = self._problem(hook=True)
+            opt = GradientOptimizer(model, vm, loss, seed=3,
+                                    track_variables=False, segment_steps=seg)
+            variables, _, losses = opt.optimize(num_samples=4, grad_steps=12)
+            return np.asarray(variables["input"]["z"]), losses[-1][1]["loss"]
+
+        z_one, l_one = run(None)
+        z_seg, l_seg = run(5)
+        np.testing.assert_array_equal(z_one, z_seg)
+        np.testing.assert_array_equal(np.asarray(l_one), np.asarray(l_seg))
