@@ -83,10 +83,29 @@ class BatchedBasinCMAOptimizer:
         self._gen_fns = {}
         # frozen-transform inverted-tell fn (set by optimize(tell_inverted=))
         self._tell_fn = None
+        # every tell fn ever used on this instance, in first-seen order: the
+        # compiled programs bake self._tell_fn into the trace, so the cache
+        # key must record WHICH transform was traced (ADVICE round 4) — the
+        # index is the token, and holding the reference keeps id()-reuse out
+        self._tell_fns_seen = []
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
         return sub
+
+    def _tell_token(self):
+        """Stable identity token for the current tell transform (None when
+        no inverted tell is configured). Part of every compiled-program
+        cache key: reusing one optimizer across optimize() calls with a
+        DIFFERENT transform_fn must not silently reuse the old traced
+        transform for tells and winner selection."""
+        if self._tell_fn is None:
+            return None
+        for i, f in enumerate(self._tell_fns_seen):
+            if f is self._tell_fn:
+                return i
+        self._tell_fns_seen.append(self._tell_fn)
+        return len(self._tell_fns_seen) - 1
 
     def _make_adam(self):
         txs = {"z": optax.adam(self.lr)}
@@ -135,10 +154,18 @@ class BatchedBasinCMAOptimizer:
                 return forward_loss(params, learn, aux)[1]
             out = self.model.apply(params, **learn, **aux["fixed"])
             out_inv = self._tell_fn(out, aux["tell_t"], invert=True)
-            kwargs = {"target": aux["tell_target"]}
-            if "tell_weight" in aux:
-                kwargs["weight"] = aux["tell_weight"]
-            loss_map = self.loss_fn(out_inv, **kwargs)
+            if "tell_ctx" in aux:
+                # original-target loss context precomputed ONCE per batch
+                # (the M unique rows) — without it every tell re-runs the
+                # LPIPS backbone on M*pop repeated original targets, the
+                # exact cost data['ctx'] eliminates for the inner loop
+                # (ADVICE round 4)
+                loss_map = self.loss_fn.from_ctx(out_inv, aux["tell_ctx"])
+            else:
+                kwargs = {"target": aux["tell_target"]}
+                if "tell_weight" in aux:
+                    kwargs["weight"] = aux["tell_weight"]
+                loss_map = self.loss_fn(out_inv, **kwargs)
             rows = out.shape[0]
             return loss_map.reshape(rows, -1).mean(axis=1)
 
@@ -219,10 +246,15 @@ class BatchedBasinCMAOptimizer:
             # frozen per-image transform params + ORIGINAL-frame targets
             # for the inverted tell (image i owns rows [i*pop, (i+1)*pop))
             aux["tell_t"] = jnp.repeat(data["tell_t"], pop, axis=0)
-            aux["tell_target"] = jnp.repeat(data["tell_target"], pop, axis=0)
-            if data.get("tell_weight") is not None:
-                aux["tell_weight"] = jnp.repeat(data["tell_weight"], pop,
+            if "tell_ctx" in data:
+                aux["tell_ctx"] = self._repeat_per_image(
+                    data["tell_ctx"], pop, m)
+            else:
+                aux["tell_target"] = jnp.repeat(data["tell_target"], pop,
                                                 axis=0)
+                if data.get("tell_weight") is not None:
+                    aux["tell_weight"] = jnp.repeat(data["tell_weight"], pop,
+                                                    axis=0)
         aux = jax.lax.stop_gradient(aux)
         if self.mesh is not None:
             from pix2latent_tpu.parallel.mesh import constrain_variables
@@ -308,7 +340,7 @@ class BatchedBasinCMAOptimizer:
         key = (m, grad_steps, self.max_batch_size,
                "ctx" in data, data.get("weights") is not None,
                "tell_t" in data, data.get("tell_weight") is not None,
-               tuple(sorted(data.get("fixed", {}))))
+               self._tell_token(), tuple(sorted(data.get("fixed", {}))))
         if key not in self._gen_fns:
             self._gen_fns[key] = self._build_generation(m, grad_steps)
         return self._gen_fns[key]
@@ -375,7 +407,7 @@ class BatchedBasinCMAOptimizer:
         key = ("final", m, self.max_batch_size,
                "ctx" in data, data.get("weights") is not None,
                "tell_t" in data, data.get("tell_weight") is not None,
-               tuple(sorted(data.get("fixed", {}))))
+               self._tell_token(), tuple(sorted(data.get("fixed", {}))))
         if key not in self._gen_fns:
             self._gen_fns[key] = self._build_final_fns(m)
         return self._gen_fns[key]
@@ -469,6 +501,11 @@ class BatchedBasinCMAOptimizer:
             # the M unique rows; generations repeat it per-sample in-graph
             pre = jax.jit(lambda t, w: self.loss_fn.precompute(t, w))
             data["ctx"] = pre(targets, data.get("weights"))
+            if "tell_t" in data:
+                # second context on the M unique ORIGINAL targets, so the
+                # inverted tell never re-extracts the target pyramid
+                data["tell_ctx"] = pre(data.pop("tell_target"),
+                                       data.pop("tell_weight", None))
 
         gen_fn = self._get_generation(m, grad_steps, data)
 

@@ -78,7 +78,7 @@ def _phase1(model, vm, loss_fn, warp, meta, grad, mbs=None):
     return opt
 
 
-def _phase2(model, vm, loss_fn, warp, best_t, meta, grad, last):
+def _phase2(model, vm, loss_fn, warp, best_t, meta, grad, last, orig_target):
     from pix2latent_tpu.optimizers import BasinCMAOptimizer
 
     vm.edit_variable("t", {"default": jnp.asarray(best_t),
@@ -88,10 +88,26 @@ def _phase2(model, vm, loss_fn, warp, best_t, meta, grad, last):
     opt.register_transform(warp, "t", "target")
     opt.register_transform(warp, "t", "weight")
     t0 = time.time()
-    opt.optimize_fused(meta_steps=meta, grad_steps=grad,
-                       last_grad_steps=last, progress_every=0)
+    variables, _, _ = opt.optimize_fused(meta_steps=meta, grad_steps=grad,
+                                         last_grad_steps=last,
+                                         progress_every=0)
     # _final_results fetched out/loss: terminal sync
-    return time.time() - t0, float(np.min(np.asarray(opt.loss)))
+    wall = time.time() - t0
+    loss_w = np.asarray(opt.loss)        # warped-frame, pre-final-update
+    # inverted-frame post-update winner loss: re-render the winner, un-warp
+    # to the ORIGINAL frame, score against the original target — the SAME
+    # frame and step semantics as the full-batched leg's tell_inverted
+    # report, so the JSON's quality numbers are comparable across legs
+    # (ADVICE round 4)
+    win = int(np.argmin(np.where(np.isfinite(loss_w), loss_w, np.inf)))
+    inputs = {name: arr[win:win + 1]
+              for name, arr in variables["input"].items()}
+    out = model.apply(model.params, **inputs)
+    t_win = variables["transform"]["t"][win:win + 1]
+    out_inv = warp(out, t_win, invert=True)
+    lm = np.asarray(loss_fn(out_inv, target=jnp.asarray(orig_target)[None]))
+    loss_inv = float(lm.reshape(1, -1).mean())
+    return wall, float(np.nanmin(loss_w)), loss_inv
 
 
 def main():
@@ -150,8 +166,9 @@ def main():
             best_t = p1.get_candidate()
             p1_s = time.time() - t0
             assert best_t is not None
-            p2_s, p2_loss = _phase2(model, vm, loss_fn, search_warp, best_t,
-                                    args.p2_meta, args.p2_grad, args.p2_last)
+            p2_s, p2_loss, p2_loss_inv = _phase2(
+                model, vm, loss_fn, search_warp, best_t,
+                args.p2_meta, args.p2_grad, args.p2_last, targets[0])
             solo_s = p1_s + p2_s
 
         # -- batched phase 1 at the recommended M, then solo phase 2 -------- #
@@ -168,9 +185,10 @@ def main():
         # phase-2 cost is the solo p2_s — it does not batch further since t
         # differs per image; total = p1b_s + M * p2_s)
         vm_b2 = _vm(model, targets[1])
-        p2b_s, p2b_loss = _phase2(model, vm_b2, loss_fn, search_warp,
-                                  np.asarray(res["candidate"][1]),
-                                  args.p2_meta, args.p2_grad, args.p2_last)
+        p2b_s, p2b_loss, p2b_loss_inv = _phase2(
+            model, vm_b2, loss_fn, search_warp,
+            np.asarray(res["candidate"][1]),
+            args.p2_meta, args.p2_grad, args.p2_last, targets[1])
         amortized_s = p1b_s / args.batch_m + p2b_s
 
         # -- FULLY batched: phase 2 batched over the per-image frozen t ----- #
@@ -196,8 +214,12 @@ def main():
             search_warp(ones, t_best[i:i + 1])
             for i in range(args.batch_m)])
         # never chunk what already fits: 126 concurrent rows is the measured
-        # plain-compile knee (BASELINE.md round-4 table)
-        rows = args.batch_m * 18
+        # plain-compile knee (BASELINE.md round-4 table). Rows come from the
+        # REAL default popsize, not a literal 18, so the chunk/no-chunk
+        # choice can't desync from the concatenated row count (ADVICE
+        # round 4)
+        from pix2latent_tpu.strategies import cma as cma_strategy
+        rows = args.batch_m * cma_strategy.default_popsize(128)
         p2f = BatchedBasinCMAOptimizer(
             model, loss_fn, z_dim=128, learning_rate=0.05,
             learnable_inputs={"c": 0.01}, hook_fn=hooks.Clamp(2.0),
@@ -220,20 +242,35 @@ def main():
         p2f_fin_losses = p2f_losses[np.isfinite(p2f_losses)]
         full_amortized_s = (p1b_s + p2f_s) / args.batch_m
 
+    # --skip_solo substitutes the amortized per-image number for the solo
+    # end-to-end wall-clock: name the metric (and value_kind) accordingly so
+    # record parsers never compare different quantities under one string
+    # (ADVICE round 4)
+    budget = (f"phase1 {args.p1_meta}x{args.p1_grad} pop7 -> "
+              f"phase2 {args.p2_meta}x{args.p2_grad}+{args.p2_last} pop18")
+    solo_mode = solo_s is not None
     print(json.dumps({
-        "metric": "BigGAN-256 two-phase transform inversion wall-clock "
-                  f"(phase1 {args.p1_meta}x{args.p1_grad} pop7 -> "
-                  f"phase2 {args.p2_meta}x{args.p2_grad}+{args.p2_last} "
-                  "pop18, end-to-end)",
-        "value": round(solo_s if solo_s is not None else full_amortized_s, 1),
+        "metric": ("BigGAN-256 two-phase transform inversion wall-clock "
+                   f"({budget}, end-to-end solo)" if solo_mode else
+                   "BigGAN-256 two-phase transform inversion amortized "
+                   f"seconds/image ({budget}, fully batched M="
+                   f"{args.batch_m})"),
+        "value": round(solo_s if solo_mode else full_amortized_s, 1),
         "unit": "seconds",
         "vs_baseline": None,
         "detail": {
+            "value_kind": ("solo_end_to_end_s" if solo_mode
+                           else "full_batched_amortized_s_per_image"),
+            # *_loss_warped: min per-sample warped-frame inner loss (pre-
+            # final-update); *_loss_inverted: post-update winner loss in the
+            # ORIGINAL (inverted) frame — the same frame/step semantics as
+            # the full_batched leg, so quality compares across legs
             "solo": None if solo_s is None else {
                 "phase1_s": round(p1_s, 1), "phase2_s": round(p2_s, 1),
                 "total_s": round(solo_s, 1),
                 "inversions_per_hour": round(3600 / solo_s, 2),
-                "phase2_final_loss": round(p2_loss, 5)},
+                "phase2_final_loss_warped": round(p2_loss, 5),
+                "phase2_final_loss_inverted": round(p2_loss_inv, 5)},
             "batched_phase1": {
                 "m": args.batch_m, "max_batch_size": args.batch_mbs,
                 "phase1_batched_s": round(p1b_s, 1),
@@ -241,20 +278,21 @@ def main():
                 "phase2_s": round(p2b_s, 1),
                 "amortized_total_s": round(amortized_s, 1),
                 "inversions_per_hour": round(3600 / amortized_s, 2),
-                "phase2_final_loss": round(p2b_loss, 5)},
+                "phase2_final_loss_warped": round(p2b_loss, 5),
+                "phase2_final_loss_inverted": round(p2b_loss_inv, 5)},
             "full_batched": {
                 "m": args.batch_m,
                 "p2_max_batch_size": (args.p2_batch_mbs
-                                      if args.batch_m * 18 > 126 else None),
+                                      if rows > 126 else None),
                 "phase1_batched_s": round(p1b_s, 1),
                 "phase2_batched_s": round(p2f_s, 1),
                 "amortized_total_s": round(full_amortized_s, 1),
                 "inversions_per_hour": round(3600 / full_amortized_s, 2),
                 "finite_images": p2f_finite,
-                "phase2_final_loss_mean": (
+                "phase2_final_loss_inverted_mean": (
                     round(float(p2f_fin_losses.mean()), 5)
                     if p2f_finite else None),
-                "phase2_final_loss_max": (
+                "phase2_final_loss_inverted_max": (
                     round(float(p2f_fin_losses.max()), 5)
                     if p2f_finite else None)},
             "compute_dtype": args.dtype,

@@ -164,3 +164,84 @@ class TestFrozenTransformEqualsPrecompute:
         assert w.max() > 0.99
         assert w.min() < 1e-6, "expected zero padding outside the warp"
         assert 0.05 < (w < 0.5).mean() < 0.9
+
+    def test_inverted_tell_precompute_ctx_matches_direct(self):
+        """A precompute-capable loss routes the inverted tell through a
+        per-batch ``tell_ctx`` on the M unique ORIGINAL targets (ADVICE
+        round 4: no target-pyramid re-extraction on M*pop repeated rows at
+        every tell); trajectories must equal the direct-loss path bit for
+        bit under the same seed."""
+
+        class _PrecomputeL1:
+            def __call__(self, output, target, weight=None):
+                return jnp.abs(target - output)
+
+            def precompute(self, target, weight=None, loss_mask=None):
+                return {"target": target}
+
+            def from_ctx(self, output, ctx):
+                return jnp.abs(ctx["target"] - output)
+
+        model = _model()
+        z_true = jax.random.normal(jax.random.PRNGKey(7), (2, ZD))
+        targets = model(z=z_true)
+        warp = SpatialTransform(sensitivity=1.0)
+        t = jnp.asarray(np.stack([T_FROZEN, -0.5 * T_FROZEN]))  # [2, 3]
+        warped_t = jnp.concatenate(
+            [warp(targets[i:i + 1], t[i:i + 1]) for i in range(2)])
+
+        def run(loss):
+            opt = BatchedBasinCMAOptimizer(model, loss, z_dim=ZD,
+                                           popsize=6, seed=3)
+            res = opt.optimize(warped_t, meta_steps=2, grad_steps=3,
+                               last_grad_steps=4,
+                               tell_inverted={"transform_fn": warp, "t": t,
+                                              "targets": targets})
+            return res, opt
+
+        direct, od = run(lambda out, target: LF.l1_loss(out, target))
+        ctxed, oc = run(_PrecomputeL1())
+        np.testing.assert_allclose(np.asarray(direct["z"]),
+                                   np.asarray(ctxed["z"]), rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(direct["loss"]),
+                                   np.asarray(ctxed["loss"]),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.stack(od.losses), np.stack(oc.losses),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_gen_program_cache_keyed_on_transform_identity(self):
+        """Reusing ONE optimizer instance across optimize() calls with a
+        different transform_fn must not silently reuse the previously traced
+        transform in the tells (ADVICE round 4): the second run must match a
+        fresh optimizer built with the second transform."""
+        model = _model()
+        z_true = jax.random.normal(jax.random.PRNGKey(9), (2, ZD))
+        targets = model(z=z_true)
+        warp_a = SpatialTransform(sensitivity=1.0)
+        warp_b = SpatialTransform(sensitivity=0.25)   # same shapes, new fn
+        t = jnp.asarray(np.stack([T_FROZEN, -0.5 * T_FROZEN]))
+
+        def tell(warp):
+            return {"transform_fn": warp, "t": t, "targets": targets}
+
+        shared = BatchedBasinCMAOptimizer(
+            model, lambda out, target: LF.l1_loss(out, target),
+            z_dim=ZD, popsize=6, seed=3)
+        shared.optimize(targets, meta_steps=1, grad_steps=2,
+                        last_grad_steps=2, tell_inverted=tell(warp_a))
+        shared._key = jax.random.PRNGKey(3)          # replay the key stream
+        reused = shared.optimize(targets, meta_steps=1, grad_steps=2,
+                                 last_grad_steps=2,
+                                 tell_inverted=tell(warp_b))
+
+        fresh_opt = BatchedBasinCMAOptimizer(
+            model, lambda out, target: LF.l1_loss(out, target),
+            z_dim=ZD, popsize=6, seed=3)
+        fresh = fresh_opt.optimize(targets, meta_steps=1, grad_steps=2,
+                                   last_grad_steps=2,
+                                   tell_inverted=tell(warp_b))
+        np.testing.assert_allclose(np.asarray(reused["loss"]),
+                                   np.asarray(fresh["loss"]),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(reused["z"]),
+                                   np.asarray(fresh["z"]), rtol=0, atol=1e-6)
