@@ -33,6 +33,7 @@ GOLDEN_MODULES = {
     "test_lpips_golden.py",
     "test_e2e_parity.py",
     "test_e2e_parity_stylegan2.py",
+    "test_e2e_parity_transform.py",
     "test_convert_cli.py",
 }
 
