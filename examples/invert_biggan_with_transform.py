@@ -46,22 +46,28 @@ def main():
     # -- phase 1: transform search -- #
     colors = tuple(c for c in args.color_transform.split(",") if c)
     if colors:
-        from pix2latent_tpu.transform import setup_transform_fn
+        from pix2latent_tpu.transform import SpatialOnly, setup_transform_fn
 
-        def make_tf():
-            fn, _ = setup_transform_fn(
-                spatial_transform=True, align=args.mask_fp is not None,
-                weight=mask if args.mask_fp else None,
-                color_transform=colors)
-            return fn
-
-        target_tf, weight_tf = make_tf(), make_tf()
+        target_tf, _ = setup_transform_fn(
+            spatial_transform=True, align=args.mask_fp is not None,
+            weight=mask if args.mask_fp else None, color_transform=colors)
+        # the weight travels with the SPATIAL warp only: color ops are
+        # defined on [-1,1] images and corrupt a 0/1 mask (brightness maps
+        # mask-zeros to t-1)
+        weight_tf = SpatialOnly(target_tf)
+        # seed CMA at the search-space identity — a zero seed (fine for
+        # spatial-only, and the reference's grad_free=True) drives weighted
+        # color slices to their clipped extremes (compose.py)
+        seed_mu = target_tf.get_search_identity()
+        t_dim = seed_mu.shape[0]
+        vm.register("t", shape=(t_dim,), var_type="transform",
+                    requires_grad=False, grad_free=(seed_mu, 1.0))
     else:
         target_tf = SpatialTransform(pre_align=mask if args.mask_fp else None)
         weight_tf = SpatialTransform(pre_align=mask if args.mask_fp else None)
-    t_dim = target_tf.get_default_param(as_tensor=False).shape[0]
-    vm.register("t", shape=(t_dim,), var_type="transform",
-                requires_grad=False, grad_free=True)
+        t_dim = target_tf.get_default_param(as_tensor=False).shape[0]
+        vm.register("t", shape=(t_dim,), var_type="transform",
+                    requires_grad=False, grad_free=True)
 
     t_opt = TransformBasinCMAOptimizer(model, vm, make_loss(args), log=args.make_video, max_batch_size=args.max_minibatch)
     t_opt.register_transform(target_tf, "t", "target")

@@ -13,12 +13,14 @@ from pix2latent_tpu.transform.color import (BrightnessTransform,
                                             ColorTransform, ContrastTransform,
                                             GammaTransform, HueTransform,
                                             SaturationTransform)
-from pix2latent_tpu.transform.compose import ComposeTransform
+from pix2latent_tpu.transform.compose import (ComposeTransform,
+                                              SpatialOnly)
 from pix2latent_tpu.transform.transform_optimizer import (
     TransformBasinCMAOptimizer)
 from pix2latent_tpu.transform.utils import setup_transform_fn
 
 __all__ = ["TransformTemplate", "SpatialTransform", "ComposeTransform",
+           "SpatialOnly",
            "ColorTransform", "HueTransform", "BrightnessTransform",
            "GammaTransform", "SaturationTransform", "ContrastTransform",
            "TransformBasinCMAOptimizer", "setup_transform_fn"]

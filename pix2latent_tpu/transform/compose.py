@@ -53,6 +53,28 @@ class ComposeTransform(TransformTemplate):
                  for fn, _ in self.transform_list]
         return np.concatenate([p for p in parts if p.size])
 
+    def get_search_identity(self, as_tensor=False):
+        """Searched-vector value at which EVERY sub-transform applies the
+        identity — the correct CMA seed mean for a composed search
+        (``grad_free=(compose.get_search_identity(), sigma)``).
+
+        Spatial transforms search a DELTA (``t_eff = default +
+        sensitivity*Δt``, identity/pre-alignment at Δt = 0); color
+        transforms search around their default (``reweight`` is the
+        identity at ``t = t_mu``). A zero seed — fine for spatial-only
+        searches, and what the reference used (``invert_biggan_with_
+        transform.py:118``, grad_free=True) — drives weighted color slices
+        to their clipped extremes (brightness: ``5*(0-1)+1 = -4`` clips to
+        0.667, a dark start)."""
+        parts = []
+        for i, (fn, _) in enumerate(self.transform_list):
+            if fn.is_spatial:
+                parts.append(np.zeros_like(self._t[i]))
+            else:
+                parts.append(self._t[i].copy())
+        ident = np.concatenate(parts).astype(np.float32)
+        return jnp.asarray(ident) if as_tensor else ident
+
     @staticmethod
     def reweight(t, weight, t_mean):
         """Scale the searched delta around the default
@@ -85,3 +107,33 @@ class ComposeTransform(TransformTemplate):
     def __str__(self):
         inner = "\n\t".join(str(f[0]) for f in self.transform_list)
         return f"<ComposeTransform\n\t{inner}\n>"
+
+
+class SpatialOnly(TransformTemplate):
+    """Restrict a ComposeTransform to its spatial sub-transforms.
+
+    Register THIS as the weight's transform in a composed spatial+color
+    search: color ops are defined on [-1, 1] images and corrupt a 0/1 mask
+    (brightness maps mask-zeros to ``t - 1``, i.e. a negative loss weight
+    for t < 1), while the spatial warp is exactly what must travel with the
+    target. The parameter vector stays the FULL composed t, so the same
+    registered variable drives both transforms."""
+
+    def __init__(self, compose: ComposeTransform):
+        self.compose = compose
+        self.is_spatial = True
+
+    def __call__(self, ims, t, invert=False):
+        return self.compose(ims, t, invert=invert, only_spatial=True)
+
+    def get_default_param(self, as_tensor=True):
+        return self.compose.get_default_param(as_tensor)
+
+    def get_identity_param(self, as_tensor=True):
+        return self.compose.get_identity_param(as_tensor)
+
+    def transform(self, ims, t):
+        return self.compose(ims, t, invert=False, only_spatial=True)
+
+    def invert_transform(self, ims, t):
+        return self.compose(ims, t, invert=True, only_spatial=True)

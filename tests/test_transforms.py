@@ -543,3 +543,101 @@ class TestFusedTransformBasinCMA:
         # degenerate candidates may be non-finite (parity with the unfused
         # driver); each search's best must be finite
         assert np.isfinite(res["inner_loss"]).any(axis=1).all()
+
+
+class TestComposedColorSearch:
+    """The composed spatial+color search plumbing added for the on-chip
+    hue+shift recovery bench (``scripts/bench_color_transform.py``,
+    VERDICT.md round 4, task 4)."""
+
+    def _compose(self):
+        from pix2latent_tpu.transform import setup_transform_fn
+        fn, _ = setup_transform_fn(spatial_transform=True,
+                                   color_transform=("hue", "brightness"))
+        return fn
+
+    def test_search_identity_is_identity(self, key):
+        """fn(ims, get_search_identity()) must reproduce ims — the CMA seed
+        for composed searches (a zero seed clips brightness to 0.667)."""
+        fn = self._compose()
+        ident = fn.get_search_identity(as_tensor=True)
+        assert ident.shape == (5,)
+        np.testing.assert_allclose(np.asarray(ident), [0, 0, 0, 0, 1],
+                                   atol=1e-6)
+        ims = jax.random.uniform(key, (2, 12, 12, 3), minval=-1, maxval=1)
+        out = fn(ims, jnp.broadcast_to(ident[None], (2, 5)))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ims),
+                                   rtol=1e-4, atol=1e-4)
+        # the zero seed is NOT identity for the composed space
+        out0 = fn(ims, jnp.zeros((2, 5)))
+        assert float(jnp.abs(out0 - ims).max()) > 0.1
+
+    def test_spatial_only_preserves_mask(self, key):
+        """SpatialOnly(fn) must equal the bare spatial warp on a 0/1 mask —
+        color ops corrupt masks (brightness maps zeros to t-1)."""
+        from pix2latent_tpu.transform import SpatialOnly
+        fn = self._compose()
+        mask = jnp.ones((1, 16, 16, 3))
+        # searched t: real spatial shift + a non-identity brightness
+        t = jnp.asarray([[0.0, 2.0, 0.0, 0.0, 1.1]])
+        spatial_ref = SpatialTransform(sensitivity=0.1)
+        want = spatial_ref(mask, t[:, :3])
+        got = SpatialOnly(fn)(mask, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        # the full compose does NOT preserve the mask (that's the point)
+        full = fn(mask, t)
+        assert float(jnp.abs(full - want).max()) > 0.05
+
+    def test_composed_search_recovers_hue_and_shift(self):
+        """End-to-end CPU: corrupt a toy rendering with a known hue shift +
+        translation; the composed search must find effective parameters of
+        the right sign/ballpark and beat the corrupted baseline loss."""
+        from pix2latent_tpu.models.toy import make_toy_model
+        from pix2latent_tpu.transform import (HueTransform, SpatialOnly,
+                                              TransformBasinCMAOptimizer)
+
+        RES, ZD = 16, 8
+        HUE_TRUE, TX_TRUE = 0.15, 0.3
+        model = make_toy_model(z_dim=ZD, res=RES, width=16, seed=0)
+        z_true = jax.random.normal(jax.random.PRNGKey(3), (1, ZD))
+        clean = model(z=z_true)
+        target = SpatialTransform(sensitivity=1.0).transform(
+            HueTransform().apply(clean, jnp.asarray([HUE_TRUE])),
+            jnp.asarray([[1.0, TX_TRUE, 0.0]]))[0]
+
+        fn = self._compose()
+        seed_mu = fn.get_search_identity()
+
+        vm = VariableManager(seed=0)
+        vm.register("z", shape=(ZD,), var_type="input", learning_rate=0.05)
+        vm.register("target", shape=(RES, RES, 3), var_type="output",
+                    requires_grad=False, default=target)
+        vm.register("weight", shape=(RES, RES, 3), var_type="output",
+                    requires_grad=False, default=jnp.ones((RES, RES, 3)))
+        vm.register("t", shape=(5,), var_type="transform",
+                    requires_grad=False, grad_free=(seed_mu, 1.0))
+
+        def loss_fn(out, target, weight):
+            return LF.masked_l1_loss(out, target, weight)
+
+        opt = TransformBasinCMAOptimizer(model, vm, loss_fn,
+                                         track_variables=False)
+        opt.register_transform(fn, "t", "target")
+        opt.register_transform(SpatialOnly(fn), "t", "weight")
+        opt.set_variable_propagation("z")
+        opt.optimize_fused(meta_steps=8, grad_steps=6)
+
+        best_t = np.asarray(opt.get_candidate())
+        assert best_t is not None and best_t.shape == (5,)
+        eff_hue = float(np.clip(5.0 * best_t[3], -0.5, 0.5))
+        # hue must be recovered with the right sign and ballpark magnitude.
+        # The SPATIAL slice is deliberately not asserted: the toy generator
+        # (tanh of a linear map) absorbs translation into z through the
+        # inner Adam loop, so t_x is under-determined at toy scale — the
+        # chip bench at BigGAN-256 (scripts/bench_color_transform.py, where
+        # the class prior pins the object pose) carries the spatial
+        # recovery number.
+        assert -0.45 < eff_hue < -0.02, (eff_hue, best_t)
+        assert np.isfinite(best_t).all() and np.isfinite(opt._best_loss)
+        assert len(opt.losses) == 8          # one tell min per generation
