@@ -569,7 +569,13 @@ class ExecutionCore:
                 keys[s0:s1])
             losses.append(ys["loss"])
             if track:
-                tracked.append(ys["tracked"])
+                # fetch each segment's tracked snapshot to HOST immediately
+                # (the reference tracks to CPU every step,
+                # base_optimizer.py:100-107): keeping all segments' stacks
+                # on device OOMs big-variable runs — w+ noises are ~350k
+                # dims x pop x 500 steps = 6+ GB — while per-segment device
+                # residency stays bounded at segment_steps rows
+                tracked.append(jax.tree.map(np.asarray, ys["tracked"]))
             if ckpt_path and si % ckpt_every == 0:
                 # one-behind: carry_in is segment s0's INPUT — materialized
                 # once the previous segment finished, while this segment is
@@ -584,8 +590,11 @@ class ExecutionCore:
                              "done": jnp.asarray(n_steps, jnp.int32)})
         ys = {"loss": jnp.concatenate(losses, axis=0)}
         if track and tracked:
+            # host (numpy) arrays by construction — see the per-segment
+            # fetch above; consumers (np.asarray in _accumulate_tracked)
+            # are agnostic
             ys["tracked"] = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0), *tracked)
+                lambda *xs: np.concatenate(xs, axis=0), *tracked)
         return variables, opt_state, out, ys
 
     def tell_loss(self, variables, key, step=0, inverted=True):
