@@ -66,7 +66,8 @@ def compute_pre_alignment(weight):
 
 
 def setup_transform_fn(args=None, weight=None, spatial_transform=False,
-                       align=False, color_transform=(), sensitivity=0.1):
+                       align=False, color_transform=(), sensitivity=0.1,
+                       color_weight=0.2):
     """Build a ComposeTransform + initial parameter vector from flags.
 
     Working version of the reference's stale ``setup_transform_fn``
@@ -75,7 +76,15 @@ def setup_transform_fn(args=None, weight=None, spatial_transform=False,
     ``args.align``, ``args.color_transform``) or explicit kwargs.
 
     Returns ``(transform_fn, t)`` — None, None when nothing is enabled.
-    Color weights follow the reference's scale-compensation factor of 5.
+
+    ``color_weight`` deliberately DEVIATES from the reference's factor of 5
+    (``transform_utils.py:29-38`` — dead code there: its color path was
+    never runnable). CMA searches t at the shared default sigma 1.0
+    (``base_cma_optimizer.py:48-49``), so a weight of 5 makes one sigma of
+    hue span 10x hue's entire valid range [-0.5, 0.5] — nearly every sample
+    rail-clamps and the search cannot recover a known corruption (measured
+    on chip, BASELINE.md round-5 notes). 0.2 puts the rails at ~2.5 sigma:
+    the whole range is reachable and the seed's neighborhood is explored.
     """
     from pix2latent_tpu.transform.color import (BrightnessTransform,
                                                 ContrastTransform,
@@ -104,7 +113,7 @@ def setup_transform_fn(args=None, weight=None, spatial_transform=False,
     # ordered by information preservability, as the reference documents
     for name in ("hue", "gamma", "saturation", "brightness", "contrast"):
         if name in color_transform:
-            transform_list.append((color_classes[name](), 5.0))
+            transform_list.append((color_classes[name](), color_weight))
 
     if not transform_list:
         return None, None

@@ -122,10 +122,13 @@ def main():
 
         # effective parameters at the best candidate (compose semantics:
         # spatial slice is a delta at sensitivity 0.1 + weight 1; color
-        # slices reweight by 5 around their defaults, then clamp)
+        # slices reweight by their compose weight around their defaults,
+        # then clamp) — weights read off the constructed compose so the
+        # report can never desync from the searched program
+        w_hue, w_bright = (w for _, w in fn.transform_list[1:])
         eff_spatial = np.array([1.0, 0.0, 0.0]) + 0.1 * best_t[:3]
-        eff_hue = float(np.clip(5.0 * best_t[3], -0.5 + 1e-6, 0.5 - 1e-6))
-        eff_bright = float(np.clip(5.0 * (best_t[4] - 1.0) + 1.0,
+        eff_hue = float(np.clip(w_hue * best_t[3], -0.5 + 1e-6, 0.5 - 1e-6))
+        eff_bright = float(np.clip(w_bright * (best_t[4] - 1.0) + 1.0,
                                    0.667, 1.5))
         err_tx = abs(float(eff_spatial[1]) - (-TX_TRUE))
         err_hue = abs(eff_hue - (-HUE_TRUE))

@@ -579,7 +579,8 @@ class TestComposedColorSearch:
         fn = self._compose()
         mask = jnp.ones((1, 16, 16, 3))
         # searched t: real spatial shift + a non-identity brightness
-        t = jnp.asarray([[0.0, 2.0, 0.0, 0.0, 1.1]])
+        # (2.0 -> effective 1.2 at the 0.2 color weight)
+        t = jnp.asarray([[0.0, 2.0, 0.0, 0.0, 2.0]])
         spatial_ref = SpatialTransform(sensitivity=0.1)
         want = spatial_ref(mask, t[:, :3])
         got = SpatialOnly(fn)(mask, t)
@@ -630,7 +631,8 @@ class TestComposedColorSearch:
 
         best_t = np.asarray(opt.get_candidate())
         assert best_t is not None and best_t.shape == (5,)
-        eff_hue = float(np.clip(5.0 * best_t[3], -0.5, 0.5))
+        w_hue = fn.transform_list[1][1]
+        eff_hue = float(np.clip(w_hue * best_t[3], -0.5, 0.5))
         # hue must be recovered with the right sign and ballpark magnitude.
         # The SPATIAL slice is deliberately not asserted: the toy generator
         # (tanh of a linear map) absorbs translation into z through the
