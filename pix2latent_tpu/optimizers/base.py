@@ -173,7 +173,11 @@ class _BaseOptimizer:
             res = {"loss": np.asarray(self.loss)}
         self.losses.append([int(step_iter), res])
 
-        collage = to_image(to_grid(np.asarray(self.out)))
+        out = np.asarray(self.out)
+        if out.ndim != 4:  # non-image model output: nothing to collage
+            self.outs.append(out)
+            return
+        collage = to_image(to_grid(out))
         if self.log_resize_factor is not None:
             from pix2latent_tpu.utils.image import smart_resize
             h, w = collage.shape[:2]
@@ -187,7 +191,8 @@ class _BaseOptimizer:
         self._finalize_tracked()
         if self.log:
             return variables, self.outs, self.losses
-        collage = to_grid(np.asarray(self.out))
+        out = np.asarray(self.out)
+        collage = to_grid(out) if out.ndim == 4 else out
         return variables, [collage], [[total_steps, {"loss": self.loss}]]
 
     def _finalize_tracked(self):

@@ -71,7 +71,11 @@ def save_variables(save_path, variables, extras: Optional[dict] = None):
     }
     if extras:
         payload.update(jax.tree.map(lambda a: np.asarray(a), extras))
-    np.save(save_path, payload, allow_pickle=True)
+    # np.save(path, ...) silently appends ".npy" to extension-less / foreign
+    # extensions, breaking save->load round-trips on the exact same path;
+    # writing through a file handle honors the path verbatim.
+    with open(save_path, "wb") as f:
+        np.save(f, payload, allow_pickle=True)
 
 
 def load_variables(path):

@@ -702,3 +702,40 @@ class TestFusedCheckpointing:
         np.testing.assert_allclose(np.asarray(res.loss), loss_full,
                                    rtol=1e-5, atol=1e-6)
         assert len(res.losses) == 2          # gens 2..3 after resume
+
+
+class TestNonImageModelOutput:
+    """The drivers must not assume the model emits NHWC images: collage
+    building (``_BaseOptimizer._final_results`` / ``log_result``) is
+    image-only presentation and has to degrade gracefully for vector
+    outputs (caught driving a linear model on the chip, round 5)."""
+
+    def _setup(self, log):
+        d_out = 24
+        W = jax.random.normal(jax.random.PRNGKey(3), (Z_DIM, d_out)) / 2.0
+        target = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(4), (Z_DIM,)) @ W)
+        vm = VariableManager(seed=0)
+        vm.register("z", shape=(Z_DIM,), var_type="input", grad_free=True,
+                    distribution=dist.TruncatedNormalModulo(1.0, 2.0))
+        vm.register("target", shape=(d_out,), var_type="output",
+                    requires_grad=False, default=target)
+        opt = CMAOptimizer(
+            lambda z: z @ W, vm,
+            lambda out, target: jnp.mean((out - target) ** 2, axis=-1),
+            log=log)
+        return opt
+
+    def test_fused_returns_raw_outputs(self):
+        opt = self._setup(log=False)
+        variables, outs, losses = opt.optimize_fused(meta_steps=8,
+                                                     grad_steps=0)
+        assert np.asarray(outs[0]).ndim == 2      # raw [pop, d_out]
+        assert np.isfinite(losses[-1][1]["loss"]).all()
+
+    def test_host_loop_log_mode(self):
+        opt = self._setup(log=True)
+        variables, outs, losses = opt.optimize(meta_steps=6, grad_steps=0)
+        assert len(losses) >= 1
+        for o in outs:
+            assert np.asarray(o).ndim == 2        # no uint8 collage frames

@@ -1,5 +1,7 @@
 """Tests for distributions, hooks, and the VariableManager."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -154,3 +156,16 @@ class TestVariableManager:
         vm = self.make_vm()
         gf = vm.grad_free_variables()
         assert len(gf) == 1 and gf[0][1] == "z"
+
+    def test_save_load_exact_path_without_npy_extension(self, tmp_path):
+        # np.save appends ".npy" to foreign extensions; save_variables must
+        # honor the exact path or the round-trip on the same name breaks
+        # (caught on-chip, round 5).
+        vm = self.make_vm()
+        v = vm.initialize(num_samples=2)
+        p = str(tmp_path / "vars.npz")
+        save_variables(p, v)
+        assert os.path.exists(p)
+        loaded = load_variables(p)
+        assert np.allclose(loaded["variables"]["input"]["z"],
+                           np.asarray(v["input"]["z"]))
