@@ -133,6 +133,10 @@ def main():
         "metric": "BigGAN-256 BasinCMA full-inversion wall-clock "
                   f"({args.meta}x{args.grad}+{args.last} steps, "
                   f"pop {pop}, end-to-end incl. result fetch)",
+        # ONE-JSON-line bench contract (bench_all.py parses value/unit)
+        "value": round(3600.0 / warm_mean, 2) if warm_mean else None,
+        "unit": "inversions/hour",
+        "vs_baseline": None,
         "cold_s": round(cold_s, 2),
         "warm_s": [round(w, 2) for w in warm],
         "warm_s_mean": round(warm_mean, 2) if warm_mean else None,
