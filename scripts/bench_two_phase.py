@@ -128,6 +128,9 @@ def main():
                          "still come from the batched phase 1)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["bfloat16", "float32"])
+    ap.add_argument("--no_warmup", action="store_true",
+                    help="skip the untimed solo-program warm-up (the solo "
+                         "headline then includes any cold compiles)")
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
     if args.smoke:
@@ -156,6 +159,20 @@ def main():
 
         # -- solo two-phase pipeline (one misaligned image) ----------------- #
         p1_s = p2_s = solo_s = p2_loss = None
+        if not (args.skip_solo or args.smoke or args.no_warmup):
+            # untimed one-generation warm-up of both phases' programs (the
+            # fused per-generation programs and the 50-step final segment
+            # are budget-independent), so the timed solo headline measures
+            # the search, not cache-state-dependent compiles (measured
+            # 613.1 s cold-inclusive vs 538.8 s warm, BENCH_ALL round 5)
+            vm_w = _vm(model, targets[0])
+            pw = _phase1(model, vm_w, loss_fn, search_warp,
+                         1, args.p1_grad)
+            pw.optimize_fused(meta_steps=1, grad_steps=args.p1_grad)
+            bt = pw.get_candidate()
+            if bt is not None and np.isfinite(np.asarray(bt)).all():
+                _phase2(model, vm_w, loss_fn, search_warp, bt,
+                        1, args.p2_grad, min(50, args.p2_last), targets[0])
         if not args.skip_solo:
             vm = _vm(model, targets[0])
             p1 = _phase1(model, vm, loss_fn, search_warp,
